@@ -1,0 +1,53 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so all multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md section 5 item 7). These env vars
+must be set before jax is first imported anywhere.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def _gradient_noise_image(rng, h, w, channels=None):
+    """Deterministic structured test image: gradients + sinusoids + noise."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = (
+        96.0 * np.sin(xx / 17.0) * np.cos(yy / 23.0)
+        + 0.35 * xx + 0.2 * yy
+    )
+    if channels:
+        chans = [base + 25.0 * c + rng.normal(0, 12, (h, w)) for c in range(channels)]
+        img = np.stack(chans, axis=-1)
+    else:
+        img = base + rng.normal(0, 12, (h, w))
+    return np.clip(img + 96.0, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="session")
+def gray_image(rng):
+    return _gradient_noise_image(rng, 128, 128)
+
+
+@pytest.fixture(scope="session")
+def rgb_image(rng):
+    return _gradient_noise_image(rng, 120, 136, channels=3)
+
+
+@pytest.fixture(scope="session")
+def gray_image_512(rng):
+    return _gradient_noise_image(rng, 512, 512)
