@@ -1,0 +1,48 @@
+"""Public API (SURVEY.md component #22, layer F): encode / decode / encode_batch."""
+from __future__ import annotations
+
+import numpy as np
+
+from jpgenc_tpu import tables as T
+from jpgenc_tpu.config import EncodeConfig
+from jpgenc_tpu.container.jfif import build_headers
+from jpgenc_tpu.engine import (get_plan, luts_from_tables, qtables_for_quality,
+                               segments_to_scan)
+from jpgenc_tpu.huffman import build_codes, optimize_tables
+from jpgenc_tpu.layout import make_layout
+from jpgenc_tpu.ref.encoder import standard_tables
+
+
+def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
+           restart_interval: int = 0, optimize: bool = False) -> bytes:
+    """Baseline JFIF encode of a [H,W] grayscale or [H,W,3] RGB uint8 image,
+    computed on the default JAX device (TPU when present)."""
+    cfg = EncodeConfig(quality=quality, subsampling=subsampling,
+                       restart_interval=restart_interval,
+                       optimize_huffman=optimize)
+    img = np.ascontiguousarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("image must be uint8")
+    mode = "gray" if img.ndim == 2 else cfg.subsampling
+    layout = make_layout(img.shape[0], img.shape[1], mode, cfg.restart_interval)
+    plan = get_plan(layout)
+    qt_host, qt_dev = qtables_for_quality(cfg.quality)
+
+    if cfg.optimize_huffman:
+        blocks = plan.blocks(img, qt_dev)
+        freq = np.asarray(plan.histogram(blocks))
+        n_tabs = 1 if layout.is_gray else 2
+        dc_tables = [build_codes(*optimize_tables(freq[0, t].astype(np.int64)))
+                     for t in range(n_tabs)]
+        ac_tables = [build_codes(*optimize_tables(freq[1, t].astype(np.int64)))
+                     for t in range(n_tabs)]
+        luts = luts_from_tables(dc_tables, ac_tables)
+        seg_words, seg_bits = plan.entropy_segments(blocks, luts)
+    else:
+        dc_tables, ac_tables = standard_tables()
+        luts = luts_from_tables(dc_tables, ac_tables)
+        seg_words, seg_bits = plan.encode_segments(img, qt_dev, luts)
+
+    scan = segments_to_scan(np.asarray(seg_words), np.asarray(seg_bits))
+    hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
+    return hdr + scan + b"\xff\xd9"

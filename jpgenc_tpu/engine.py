@@ -1,0 +1,213 @@
+"""Device encode engine: per-layout compiled pipelines + host finalize.
+
+This orchestrates SURVEY.md call stacks 4.1-4.3 on device:
+
+  pixels (u8, HBM) -> [K1] color/subsample/FDCT/quantize/zigzag
+                   -> scan-order gather -> [K2] symbolize -> [K3] pack
+  -> (seg_words, seg_bits) -> host: byte-slice + 1-pad + FF00-stuff + RSTn join
+
+Exactly two host/device crossings per image (input upload, packed-scan
+download), per the BASELINE.json:5 contract.
+
+Pipelines are jitted per FrameLayout (static shapes); Huffman LUTs and quant
+tables are traced arguments so optimized-table pass 2 reuses the same
+executable. Compiled plans are cached process-wide.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpgenc_tpu import tables as T
+from jpgenc_tpu.huffman import HuffTable
+from jpgenc_tpu.layout import FrameLayout
+from jpgenc_tpu.ops import color as C
+from jpgenc_tpu.ops import transform as X
+from jpgenc_tpu.ops.entropy import EntropyLUTs, SymbolPlan, make_pieces, symbol_histogram
+from jpgenc_tpu.ops.pack import pack_segments, words_per_segment
+from jpgenc_tpu.ref.bitio import stuff_bytes
+
+
+def make_symbol_plan(layout: FrameLayout) -> SymbolPlan:
+    """Pad scan-order index arrays to whole segments; lift to device arrays."""
+    s = layout.n_scan
+    spb = layout.blocks_per_segment
+    s_pad = layout.n_segments * spb
+    pad = s_pad - s
+
+    def _pad(a, fill):
+        return np.concatenate([a, np.full(pad, fill, a.dtype)]) if pad else a
+
+    dc_tab = np.array([layout.comps[ci].dc_tab for ci in layout.scan_comp], np.int32)
+    ac_tab = np.array([layout.comps[ci].ac_tab for ci in layout.scan_comp], np.int32)
+    valid = np.ones(s, bool)
+    return SymbolPlan(
+        prev_same=jnp.asarray(_pad(layout.prev_same, -1)),
+        dc_tab=jnp.asarray(_pad(dc_tab, 0)),
+        ac_tab=jnp.asarray(_pad(ac_tab, 0)),
+        valid=jnp.asarray(_pad(valid, False)),
+    )
+
+
+def make_scan_gather(layout: FrameLayout) -> np.ndarray:
+    s = layout.n_scan
+    s_pad = layout.n_segments * layout.blocks_per_segment
+    flat = np.zeros(s_pad, np.int32)
+    flat[:s] = layout.scan_flat
+    return flat
+
+
+def luts_from_tables(dc_tables: list[HuffTable],
+                     ac_tables: list[HuffTable]) -> EntropyLUTs:
+    def rows(tabs, attr, dtype):
+        out = np.zeros((2, 256), dtype)
+        for i, t in enumerate(tabs[:2]):
+            out[i] = getattr(t, attr)
+        if len(tabs) == 1:
+            out[1] = out[0]
+        return out
+    return EntropyLUTs(
+        dc_code=jnp.asarray(rows(dc_tables, "code", np.uint32)),
+        dc_len=jnp.asarray(rows(dc_tables, "length", np.int32)),
+        ac_code=jnp.asarray(rows(ac_tables, "code", np.uint32)),
+        ac_len=jnp.asarray(rows(ac_tables, "length", np.int32)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Traced pipeline pieces (layout is static via closure; tables are traced args)
+# ---------------------------------------------------------------------------
+
+def pixels_to_blocks(img: jnp.ndarray, layout: FrameLayout,
+                     qtabs: jnp.ndarray) -> jnp.ndarray:
+    """u8 image -> concatenated [n_total_blocks, 64] int32 zigzag blocks.
+
+    qtabs: [2, 64] float-convertible quant tables (natural order).
+    """
+    c0 = layout.comps[0]
+    if layout.is_gray:
+        plane = C.pad_replicate(img, c0.plane_h, c0.plane_w).astype(jnp.float32)
+        return X.plane_to_zigzag(plane, qtabs[0])
+    padded = C.pad_replicate(img, c0.plane_h, c0.plane_w)
+    ycc = C.rgb_to_ycbcr(padded)
+    planes = [ycc[..., 0],
+              C.subsample(ycc[..., 1], c0.hs, c0.vs),
+              C.subsample(ycc[..., 2], c0.hs, c0.vs)]
+    parts = [X.plane_to_zigzag(p, qtabs[comp.qtab])
+             for p, comp in zip(planes, layout.comps)]
+    return jnp.concatenate(parts, axis=0)
+
+
+def blocks_to_scan(all_blocks: jnp.ndarray, scan_flat: jnp.ndarray) -> jnp.ndarray:
+    return all_blocks[scan_flat]
+
+
+def scan_to_segments(zz_scan: jnp.ndarray, plan: SymbolPlan, luts: EntropyLUTs,
+                     n_seg: int, words: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    pv, pl = make_pieces(zz_scan, plan, luts)
+    return pack_segments(pv, pl, n_seg, words)
+
+
+# ---------------------------------------------------------------------------
+# Compiled plan cache
+# ---------------------------------------------------------------------------
+
+class DevicePlan:
+    """Holds per-layout static device arrays + jitted callables."""
+
+    def __init__(self, layout: FrameLayout):
+        self.layout = layout
+        self.plan = make_symbol_plan(layout)
+        self.scan_flat = jnp.asarray(make_scan_gather(layout))
+        self.n_seg = layout.n_segments
+        self.words = words_per_segment(layout.blocks_per_segment)
+
+        lay = layout
+        n_seg, words = self.n_seg, self.words
+
+        @jax.jit
+        def _encode(img, qtabs, plan, scan_flat, luts):
+            blocks = pixels_to_blocks(img, lay, qtabs)
+            zz = blocks_to_scan(blocks, scan_flat)
+            w, b = scan_to_segments(zz, plan, luts, n_seg, words)
+            return w, b
+
+        @jax.jit
+        def _blocks(img, qtabs):
+            return pixels_to_blocks(img, lay, qtabs)
+
+        @jax.jit
+        def _entropy(blocks, plan, scan_flat, luts):
+            zz = blocks_to_scan(blocks, scan_flat)
+            return scan_to_segments(zz, plan, luts, n_seg, words)
+
+        @jax.jit
+        def _hist(blocks, plan, scan_flat):
+            zz = blocks_to_scan(blocks, scan_flat)
+            return symbol_histogram(zz, plan)
+
+        self._encode = _encode
+        self._blocks = _blocks
+        self._entropy = _entropy
+        self._hist = _hist
+
+    # -- public ------------------------------------------------------------
+
+    def encode_segments(self, img, qtabs, luts):
+        return self._encode(img, qtabs, self.plan, self.scan_flat, luts)
+
+    def blocks(self, img, qtabs):
+        return self._blocks(img, qtabs)
+
+    def entropy_segments(self, blocks, luts):
+        return self._entropy(blocks, self.plan, self.scan_flat, luts)
+
+    def histogram(self, blocks):
+        return self._hist(blocks, self.plan, self.scan_flat)
+
+
+_PLANS: dict[tuple, DevicePlan] = {}
+
+
+def get_plan(layout: FrameLayout) -> DevicePlan:
+    key = (layout.height, layout.width, layout.subsampling, layout.restart_interval)
+    if key not in _PLANS:
+        _PLANS[key] = DevicePlan(layout)
+    return _PLANS[key]
+
+
+# ---------------------------------------------------------------------------
+# Host finalize: segments -> one stuffed scan with RSTn joins
+# ---------------------------------------------------------------------------
+
+def segments_to_scan(seg_words: np.ndarray, seg_bits: np.ndarray,
+                     first_rst: int = 0) -> bytes:
+    """[n_seg, W] u32 + [n_seg] bits -> stuffed entropy bytes with RSTn between
+    segments. `first_rst` offsets the RSTn numbering (stripe concatenation
+    across chips passes the global segment index here — SURVEY.md hard part 5).
+    """
+    n_seg = seg_words.shape[0]
+    parts = []
+    be = seg_words.astype(">u4")
+    for s in range(n_seg):
+        bits = int(seg_bits[s])
+        nbytes = (bits + 7) // 8
+        raw = np.frombuffer(be[s].tobytes(), np.uint8)[:nbytes].copy()
+        pad = nbytes * 8 - bits
+        if pad:
+            raw[-1] |= (1 << pad) - 1
+        parts.append(stuff_bytes(raw))
+        if s < n_seg - 1:
+            parts.append(bytes([0xFF, 0xD0 + ((first_rst + s) % 8)]))
+    return b"".join(parts)
+
+
+def qtables_for_quality(quality: int) -> tuple[np.ndarray, jnp.ndarray]:
+    """(host [2,64] int32 natural-order tables, device copy)."""
+    q = np.stack([T.scale_qtable(T.QTABLE_LUMA, quality),
+                  T.scale_qtable(T.QTABLE_CHROMA, quality)])
+    return q, jnp.asarray(q)

@@ -1,0 +1,103 @@
+"""Device bitstream packing: parallel-prefix offsets + conflict-free scatter
+(SURVEY.md component #15, hard part 1 — the kernel the throughput target is
+bound by).
+
+Pipeline (all fixed shapes, per restart segment):
+  1. per-slot register build: each scan slot's <=4 pieces (ZRLs + code/amp)
+     are concatenated MSB-first into a 96-bit register (3 u32 words) + length.
+  2. exclusive prefix-sum of slot bit-lengths within each segment -> bit offset.
+  3. each slot's register, funnel-shifted by (offset mod 32), is scatter-ADDed
+     into up to 4 consecutive u32 words of the segment buffer. Bit ranges are
+     disjoint by construction, so add == or and duplicate word indices (block
+     boundaries) combine correctly under XLA's deterministic scatter-add.
+
+Output: [n_seg, W] big-endian-bit u32 words + per-segment bit counts. The host
+(or C++ native tier) does the only remaining work: slice to ceil(bits/8) bytes,
+set the 1-padding in the final byte, FF00-stuff, join with RSTn markers
+(BASELINE.json:5 "leaving only final byte-stuffing on host").
+
+Segment buffers are sized for the true worst case (every coefficient nonzero:
+<=1713 bits/block with 16-bit codes) so packing can never overflow; perf paths
+can pass a smaller W together with overflow detection via the returned bit
+counts.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+# Worst-case bits per 8x8 block: DC (16-bit code + 11 amp) + 63 AC values
+# (16-bit code + 10 amp) + at most 3 ZRLs (16 bits each).
+MAX_BLOCK_BITS = 27 + 63 * 26 + 3 * 16
+
+
+def words_per_segment(blocks_per_segment: int) -> int:
+    """Worst-case u32 words for one restart segment (+3 slack for scatter spill)."""
+    return -(-blocks_per_segment * MAX_BLOCK_BITS // 32) + 3
+
+
+def _shift_into_word(v: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """v (u32) logically shifted by s bits (+ = left) and truncated to a u32 word.
+
+    |s| >= 32 yields 0. Shift amounts are clamped so XLA never sees an
+    out-of-range shift (undefined in HLO).
+    """
+    v = v.astype(_U32)
+    sl = jnp.clip(s, 0, 31).astype(_U32)
+    sr = jnp.clip(-s, 0, 31).astype(_U32)
+    left = jnp.where((s >= 0) & (s < 32), v << sl, _U32(0))
+    right = jnp.where((s < 0) & (s > -32), v >> sr, _U32(0))
+    return left | right
+
+
+def build_registers(piece_val: jnp.ndarray,
+                    piece_len: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Concatenate each slot's pieces MSB-first into 96-bit registers.
+
+    piece_val/piece_len: [..., P] u32/i32 with per-piece values right-aligned.
+    Returns (reg [..., 3] u32 with bit 0 of the stream at bit 31 of word 0,
+    total_len [...] i32). Total must be <= 96 bits.
+    """
+    shape = piece_val.shape[:-1]
+    npieces = piece_val.shape[-1]
+    reg = [jnp.zeros(shape, _U32) for _ in range(3)]
+    pos = jnp.zeros(shape, _I32)
+    for p in range(npieces):
+        v = piece_val[..., p]
+        ln = piece_len[..., p]
+        # value's LSB sits at register bit (96 - pos - ln) counting from LSB
+        a = 96 - pos - ln
+        for t in range(3):
+            # word t covers register bits [95-32t .. 64-32t]
+            reg[t] = reg[t] | _shift_into_word(v, a - 64 + 32 * t)
+        pos = pos + ln
+    return jnp.stack(reg, axis=-1), pos
+
+
+def pack_segments(piece_val: jnp.ndarray, piece_len: jnp.ndarray,
+                  n_seg: int, words: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack pieces into per-segment bitstreams.
+
+    piece_val/piece_len: [S, 64, 4] from ops.entropy.make_pieces, where
+    S = n_seg * blocks_per_segment.
+    Returns (seg_words [n_seg, words] u32 MSB-first, seg_bits [n_seg] i32).
+    """
+    reg, slot_len = build_registers(piece_val, piece_len)   # [S,3], [S]
+    s_total = slot_len.reshape(n_seg, -1)                    # [n_seg, spb]
+    csum = jnp.cumsum(s_total, axis=1)
+    seg_bits = csum[:, -1]
+    offset = csum - s_total                                  # exclusive prefix
+    w0 = (offset >> 5).astype(_I32)                          # first word index
+    r = (offset & 31).astype(_I32)                           # bit shift within
+
+    regs = reg.reshape(n_seg, -1, 3)                         # [n_seg, spb, 3]
+    out = jnp.zeros((n_seg, words), _U32)
+    seg_ix = jnp.arange(n_seg, dtype=_I32)[:, None]
+    for t in range(4):
+        hi = regs[:, :, t - 1] if t >= 1 else jnp.zeros_like(regs[:, :, 0])
+        lo = regs[:, :, t] if t <= 2 else jnp.zeros_like(regs[:, :, 0])
+        contrib = _shift_into_word(lo, -r) | _shift_into_word(hi, 32 - r)
+        out = out.at[seg_ix, w0 + t].add(contrib, mode="drop")
+    return out, seg_bits

@@ -1,0 +1,115 @@
+"""M1 gate: device (jnp/XLA) pipeline vs the NumPy reference (SURVEY.md section 5
+level 2 stage tests + level 3 byte-exactness of the entropy/packing stages).
+
+Entropy + packing are fed the reference's integer coefficients, so their output
+scan must be BYTE-IDENTICAL to the reference encoder's. The float DCT stage is
+compared with a boundary-tolerant integer check (SURVEY.md hard part 3).
+"""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpgenc_tpu import api
+from jpgenc_tpu import tables as T
+from jpgenc_tpu.container.jfif import build_headers
+from jpgenc_tpu.engine import (get_plan, luts_from_tables, qtables_for_quality,
+                               segments_to_scan)
+from jpgenc_tpu.layout import make_layout
+from jpgenc_tpu.ref import encoder as ref
+from jpgenc_tpu.utils.metrics import psnr
+
+
+def ref_scan_bytes(img, layout, quality):
+    qts = [T.scale_qtable(T.QTABLE_LUMA, quality),
+           T.scale_qtable(T.QTABLE_CHROMA, quality)]
+    blocks = ref.image_to_zigzag(img, layout, qts)
+    dc, ac = ref.standard_tables()
+    return blocks, ref.entropy_scan(layout, blocks, dc, ac)
+
+
+def device_scan_from_blocks(blocks, layout):
+    plan = get_plan(layout)
+    dc, ac = ref.standard_tables()
+    luts = luts_from_tables(dc, ac)
+    w, b = plan.entropy_segments(np.asarray(blocks, np.int32), luts)
+    return segments_to_scan(np.asarray(w), np.asarray(b))
+
+
+CASES = [
+    ("gray", 0), ("gray", 4), ("gray", 7),
+    ("420", 0), ("420", 3), ("422", 0), ("444", 2),
+]
+
+
+@pytest.mark.parametrize("mode,rst", CASES)
+def test_entropy_pack_byte_identical_to_reference(mode, rst, gray_image, rgb_image):
+    img = gray_image if mode == "gray" else rgb_image
+    layout = make_layout(img.shape[0], img.shape[1], mode, rst)
+    blocks, ref_scan = ref_scan_bytes(img, layout, 75)
+    dev_scan = device_scan_from_blocks(blocks, layout)
+    assert dev_scan == ref_scan
+
+
+def test_dct_quantize_close_to_reference(gray_image):
+    layout = make_layout(*gray_image.shape, "gray", 0)
+    qt_host, qt_dev = qtables_for_quality(75)
+    plan = get_plan(layout)
+    dev = np.asarray(plan.blocks(gray_image, qt_dev))
+    refb = ref.image_to_zigzag(gray_image, layout, list(qt_host))
+    diff = np.abs(dev - refb)
+    assert diff.max() <= 1                       # only rounding-boundary flips
+    assert (diff != 0).mean() < 5e-4             # and only rarely
+
+
+@pytest.mark.parametrize("mode", ["gray", "420", "422", "444"])
+def test_end_to_end_device_encode_decodes(mode, gray_image, rgb_image):
+    img = gray_image if mode == "gray" else rgb_image
+    kw = {} if mode == "gray" else {"subsampling": mode}
+    data = api.encode(img, quality=75, **kw)
+    dec = Image.open(io.BytesIO(data))
+    arr = np.asarray(dec.convert("RGB") if mode != "gray" else dec)
+    assert arr.shape == img.shape
+    assert psnr(arr, img) > 25.0
+
+
+def test_device_encode_matches_reference_psnr(gray_image):
+    a = api.encode(gray_image, quality=75)
+    b = ref.encode(gray_image, quality=75)
+    pa = psnr(np.asarray(Image.open(io.BytesIO(a))), gray_image)
+    pb = psnr(np.asarray(Image.open(io.BytesIO(b))), gray_image)
+    assert abs(pa - pb) < 0.1
+
+
+def test_device_restart_interval(gray_image):
+    data = api.encode(gray_image, quality=75, restart_interval=4)
+    base = api.encode(gray_image, quality=75)
+    a = np.asarray(Image.open(io.BytesIO(data)))
+    b = np.asarray(Image.open(io.BytesIO(base)))
+    assert np.array_equal(a, b)
+
+
+def test_device_optimized_huffman(gray_image):
+    opt = api.encode(gray_image, quality=75, optimize=True)
+    base = api.encode(gray_image, quality=75)
+    assert len(opt) < len(base)
+    a = np.asarray(Image.open(io.BytesIO(opt)))
+    b = np.asarray(Image.open(io.BytesIO(base)))
+    assert np.array_equal(a, b)
+
+
+def test_device_histogram_matches_reference(rgb_image):
+    layout = make_layout(rgb_image.shape[0], rgb_image.shape[1], "420", 0)
+    qt_host, qt_dev = qtables_for_quality(75)
+    blocks = ref.image_to_zigzag(rgb_image, layout, list(qt_host))
+    plan = get_plan(layout)
+    dev_freq = np.asarray(plan.histogram(np.asarray(blocks, np.int32)))
+    ref_freq = ref.symbol_histogram(layout, blocks)
+    assert np.array_equal(dev_freq.astype(np.int64), ref_freq)
+
+
+def test_determinism_across_runs(gray_image):
+    a = api.encode(gray_image, quality=75)
+    b = api.encode(gray_image, quality=75)
+    assert a == b
