@@ -10,6 +10,7 @@ from jpgenc_tpu.engine import (get_plan, luts_from_tables, qtables_for_quality,
                                segments_to_scan)
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
+from jpgenc_tpu.decoder import decode  # noqa: F401  (public API re-export)
 from jpgenc_tpu.ref.encoder import standard_tables
 
 

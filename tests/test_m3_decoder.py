@@ -1,0 +1,74 @@
+"""M3 gate: own decoder — bit-identical coefficient round-trip (BASELINE.json:5)
+plus cross-decoder pixel agreement."""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpgenc_tpu import api
+from jpgenc_tpu.decoder import decode, decode_to_coefficients
+from jpgenc_tpu.engine import get_plan, qtables_for_quality
+from jpgenc_tpu.layout import make_layout
+from jpgenc_tpu.utils.metrics import psnr
+
+
+CASES = [
+    ("gray", 0, 75, False),
+    ("gray", 4, 75, False),
+    ("gray", 0, 75, True),
+    ("420", 0, 75, False),
+    ("420", 3, 90, False),
+    ("422", 0, 50, False),
+    ("444", 0, 75, True),
+]
+
+
+@pytest.mark.parametrize("mode,rst,q,opt", CASES)
+def test_coefficient_roundtrip_bit_identical(mode, rst, q, opt, gray_image, rgb_image):
+    img = gray_image if mode == "gray" else rgb_image
+    kw = {} if mode == "gray" else {"subsampling": mode}
+    data = api.encode(img, quality=q, restart_interval=rst, optimize=opt, **kw)
+
+    layout = make_layout(img.shape[0], img.shape[1], mode, rst)
+    _, qt_dev = qtables_for_quality(q)
+    enc_blocks = np.asarray(get_plan(layout).blocks(img, qt_dev))
+
+    dec_layout, dec_blocks, dec_qt = decode_to_coefficients(data)
+    assert dec_layout.subsampling == mode
+    assert dec_layout.restart_interval == rst
+    assert np.array_equal(dec_blocks, enc_blocks)          # THE invariant
+    for tq in dec_qt:
+        host_qt, _ = qtables_for_quality(q)
+        assert np.array_equal(dec_qt[tq], host_qt[tq])
+
+
+@pytest.mark.parametrize("mode", ["gray", "420"])
+def test_own_decode_close_to_pillow_decode(mode, gray_image, rgb_image):
+    img = gray_image if mode == "gray" else rgb_image
+    kw = {} if mode == "gray" else {"subsampling": mode}
+    data = api.encode(img, quality=75, **kw)
+    ours = decode(data)
+    pil = Image.open(io.BytesIO(data))
+    theirs = np.asarray(pil.convert("RGB") if mode != "gray" else pil)
+    assert ours.shape == theirs.shape
+    # all decoders of the same baseline file agree up to IDCT/upsample rounding
+    assert psnr(ours, theirs) > (40.0 if mode == "gray" else 30.0)
+
+
+def test_decode_pillow_encoded_file(gray_image):
+    buf = io.BytesIO()
+    Image.fromarray(gray_image).save(buf, format="JPEG", quality=75)
+    ours = decode(buf.getvalue())
+    theirs = np.asarray(Image.open(buf))
+    assert psnr(ours, theirs) > 40.0
+
+
+def test_decode_pillow_optimized_restart_color(rgb_image):
+    buf = io.BytesIO()
+    Image.fromarray(rgb_image).save(buf, format="JPEG", quality=80,
+                                    optimize=True, restart_marker_blocks=2)
+    ours = decode(buf.getvalue())
+    theirs = np.asarray(Image.open(buf).convert("RGB"))
+    assert ours.shape == theirs.shape
+    assert psnr(ours, theirs) > 30.0
