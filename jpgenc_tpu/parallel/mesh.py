@@ -1,0 +1,270 @@
+"""Distribution layer (SURVEY.md layer G, call stack 4.5).
+
+Two parallelism strategies over a `jax.sharding.Mesh` (SURVEY.md section 3
+"Parallelism strategies"):
+
+- **DP / batch**: a batch of same-shape images is sharded over the 'batch'
+  mesh axis with `NamedSharding(P('batch', ...))`; the per-image pipeline is
+  vmapped and jitted with input shardings, so each chip encodes its shard and
+  XLA inserts no cross-chip traffic until the host gathers packed segments.
+
+- **SP analog / stripe**: one large image is split into MCU-row stripes, one
+  per chip. Stripe boundaries are restart boundaries (the survey's key
+  architectural insight): each stripe's entropy segments are byte-aligned and
+  DC-reset, so stripes are encoded as independent sub-images and their
+  segments concatenate into ONE valid scan, with RSTn numbering derived from
+  the *global* segment index. The result is byte-identical to a single-device
+  encode of the whole image at the same restart interval (tested).
+
+Collectives: the optimized-Huffman two-pass mode psums symbol histograms
+across the mesh (here: a jnp.sum over the stripe axis of sharded per-stripe
+histograms) before the host builds one global table set.
+
+Multi-host: under `jax.distributed` the same code runs SPMD per process; the
+host-side byte assembly uses each image's owning process
+(`multihost_utils.process_allgather` for striped scans). This module is
+exercised on an N-virtual-device CPU mesh in CI (SURVEY.md section 5 item 7).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jpgenc_tpu.config import EncodeConfig
+from jpgenc_tpu.container.jfif import build_headers
+from jpgenc_tpu.engine import (DevicePlan, get_plan, luts_from_tables,
+                               qtables_for_quality, segments_to_scan)
+from jpgenc_tpu.huffman import build_codes, optimize_tables
+from jpgenc_tpu.layout import make_layout
+from jpgenc_tpu.ops.entropy import symbol_histogram
+from jpgenc_tpu.engine import blocks_to_scan, pixels_to_blocks, scan_to_segments
+from jpgenc_tpu.ref.encoder import standard_tables
+
+
+def default_mesh(axis: str = "batch") -> Mesh:
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+# ---------------------------------------------------------------------------
+# Batched executables, cached per (layout, batch size, mesh)
+# ---------------------------------------------------------------------------
+
+_BATCHED: dict[tuple, dict] = {}
+
+
+def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh) -> dict:
+    key = (id(plan), batch, tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+    if key in _BATCHED:
+        return _BATCHED[key]
+
+    lay = plan.layout
+    n_seg, words = plan.n_seg, plan.words
+    ax = mesh.axis_names[0]
+    img_rank = 2 if lay.is_gray else 3
+    sh_img = NamedSharding(mesh, P(ax, *([None] * img_rank)))
+    rep = NamedSharding(mesh, P())
+
+    def _enc1(img, qtabs, splan, scan_flat, luts):
+        blocks = pixels_to_blocks(img, lay, qtabs)
+        zz = blocks_to_scan(blocks, scan_flat)
+        return scan_to_segments(zz, splan, luts, n_seg, words)
+
+    def _blocks1(img, qtabs):
+        return pixels_to_blocks(img, lay, qtabs)
+
+    def _hist1(blocks, splan, scan_flat):
+        return symbol_histogram(blocks_to_scan(blocks, scan_flat), splan)
+
+    def _entropy1(blocks, splan, scan_flat, luts):
+        zz = blocks_to_scan(blocks, scan_flat)
+        return scan_to_segments(zz, splan, luts, n_seg, words)
+
+    nb = sum(c.n_blocks for c in lay.comps)
+    sh_blk = NamedSharding(mesh, P(ax, None, None))
+
+    fns = {
+        "encode": jax.jit(
+            jax.vmap(_enc1, in_axes=(0, None, None, None, None)),
+            in_shardings=(sh_img, rep, rep, rep, rep)),
+        "blocks": jax.jit(
+            jax.vmap(_blocks1, in_axes=(0, None)),
+            in_shardings=(sh_img, rep)),
+        # per-image custom LUTs (optimize mode): luts batched over axis 0
+        "entropy_perimg": jax.jit(
+            jax.vmap(_entropy1, in_axes=(0, None, None, 0)),
+            in_shardings=(sh_blk, rep, rep, sh_blk)),
+        # shared LUTs (striped single image): replicated tables
+        "entropy_shared": jax.jit(
+            jax.vmap(_entropy1, in_axes=(0, None, None, None)),
+            in_shardings=(sh_blk, rep, rep, rep)),
+        "hist": jax.jit(
+            jax.vmap(_hist1, in_axes=(0, None, None)),
+            in_shardings=(sh_blk, rep, rep)),
+        "hist_sum": jax.jit(
+            lambda blocks, splan, scan_flat: jax.vmap(
+                _hist1, in_axes=(0, None, None))(blocks, splan, scan_flat
+                                                 ).sum(axis=0),
+            in_shardings=(sh_blk, rep, rep)),
+        "sharding_img": sh_img,
+    }
+    _BATCHED[key] = fns
+    return fns
+
+
+def _build_tables_from_freq(freq: np.ndarray, n_tabs: int):
+    dc = [build_codes(*optimize_tables(freq[0, t].astype(np.int64)))
+          for t in range(n_tabs)]
+    ac = [build_codes(*optimize_tables(freq[1, t].astype(np.int64)))
+          for t in range(n_tabs)]
+    return dc, ac
+
+
+def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
+                 restart_interval: int = 0, optimize: bool = False,
+                 mesh: Mesh | None = None) -> list[bytes]:
+    """Encode a [B, H, W(, 3)] uint8 batch, sharded over the mesh batch axis.
+
+    Returns one JFIF bytestring per image, identical to per-image `api.encode`.
+    """
+    cfg = EncodeConfig(quality=quality, subsampling=subsampling,
+                       restart_interval=restart_interval,
+                       optimize_huffman=optimize)
+    imgs = np.ascontiguousarray(imgs)
+    if mesh is None:
+        mesh = default_mesh()
+    n_dev = mesh.devices.size
+    b = imgs.shape[0]
+    pad = (-b) % n_dev
+    if pad:  # round the batch up to the mesh size; padded outputs are dropped
+        imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
+
+    mode = "gray" if imgs.ndim == 3 else cfg.subsampling
+    layout = make_layout(imgs.shape[1], imgs.shape[2], mode, cfg.restart_interval)
+    plan = get_plan(layout)
+    fns = _batched_fns(plan, imgs.shape[0], mesh)
+    qt_host, qt_dev = qtables_for_quality(cfg.quality)
+    imgs_dev = jax.device_put(imgs, fns["sharding_img"])
+
+    n_tabs = 1 if layout.is_gray else 2
+    if cfg.optimize_huffman:
+        blocks = fns["blocks"](imgs_dev, qt_dev)
+        freqs = np.asarray(fns["hist"](blocks, plan.plan, plan.scan_flat))
+        per_img_tables = [_build_tables_from_freq(freqs[i], n_tabs)
+                          for i in range(b)] + [None] * pad
+        if pad:  # reuse last real image's tables for padding
+            per_img_tables[b:] = [per_img_tables[b - 1]] * pad
+        luts_list = [luts_from_tables(dc, ac) for dc, ac in per_img_tables]
+        luts_b = jax.tree.map(lambda *xs: jnp.stack(xs), *luts_list)
+        seg_words, seg_bits = fns["entropy_perimg"](blocks, plan.plan,
+                                                    plan.scan_flat, luts_b)
+    else:
+        dc_tables, ac_tables = standard_tables()
+        luts = luts_from_tables(dc_tables, ac_tables)
+        seg_words, seg_bits = fns["encode"](imgs_dev, qt_dev, plan.plan,
+                                            plan.scan_flat, luts)
+
+    seg_words = np.asarray(seg_words)
+    seg_bits = np.asarray(seg_bits)
+    out = []
+    for i in range(b):
+        if cfg.optimize_huffman:
+            dc_tables, ac_tables = per_img_tables[i]
+        hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
+        scan = segments_to_scan(seg_words[i], seg_bits[i])
+        out.append(hdr + scan + b"\xff\xd9")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stripe mode: one large image across chips
+# ---------------------------------------------------------------------------
+
+def _stripe_geometry(layout_h: int, mcu_h: int, n_stripes: int) -> int:
+    """Rows of MCUs per stripe; requires an even split."""
+    mcu_rows = layout_h // mcu_h
+    if mcu_rows % n_stripes:
+        raise ValueError(
+            f"{mcu_rows} MCU rows not divisible into {n_stripes} stripes")
+    return mcu_rows // n_stripes
+
+
+def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
+                   subsampling: str = "420", restart_interval: int = 0,
+                   optimize: bool = False, mesh: Mesh | None = None) -> bytes:
+    """Encode ONE image with its MCU-row stripes sharded over the mesh.
+
+    The emitted file carries restart markers at (at least) stripe boundaries:
+    `restart_interval` of 0 selects one segment per stripe-row boundary, i.e.
+    DRI = MCUs per stripe; otherwise `restart_interval` must divide the MCU
+    count of a stripe so stripe boundaries land on segment boundaries
+    (SURVEY.md hard part 5).
+    """
+    img = np.ascontiguousarray(img)
+    if mesh is None:
+        # largest device count dividing n_stripes, so stripes shard evenly
+        devs = jax.devices()
+        n = len(devs)
+        while n_stripes % n:
+            n -= 1
+        mesh = Mesh(np.array(devs[:n]), ("stripe",))
+    mode = "gray" if img.ndim == 2 else subsampling
+    h, w = img.shape[0], img.shape[1]
+    full = make_layout(h, w, mode, 1)  # probe for MCU geometry/padding
+    mcu_h = full.mcu_h
+    ph, pw = full.comps[0].plane_h, full.comps[0].plane_w
+    if ph % (mcu_h * n_stripes):
+        raise ValueError("padded image height must split evenly into stripes")
+    rows_per_stripe = _stripe_geometry(ph, mcu_h, n_stripes)
+    mcus_per_stripe = rows_per_stripe * full.mcus_x
+    r = restart_interval if restart_interval else mcus_per_stripe
+    if mcus_per_stripe % r:
+        raise ValueError("restart_interval must divide MCUs per stripe")
+
+    # replicate-pad on host, then view as a batch of stripe sub-images
+    pad_spec = [(0, ph - h), (0, pw - w)] + ([(0, 0)] if img.ndim == 3 else [])
+    padded = np.pad(img, pad_spec, mode="edge")
+    stripes = padded.reshape((n_stripes, rows_per_stripe * mcu_h, pw)
+                             + ((3,) if img.ndim == 3 else ()))
+
+    stripe_layout = make_layout(stripes.shape[1], pw, mode, r)
+    plan = get_plan(stripe_layout)
+    fns = _batched_fns(plan, n_stripes, mesh)
+    qt_host, qt_dev = qtables_for_quality(quality)
+    stripes_dev = jax.device_put(stripes, fns["sharding_img"])
+    n_tabs = 1 if stripe_layout.is_gray else 2
+
+    if optimize:
+        blocks = fns["blocks"](stripes_dev, qt_dev)
+        # global histogram: psum over the stripe axis (ICI collective on TPU)
+        freq = np.asarray(fns["hist_sum"](blocks, plan.plan, plan.scan_flat))
+        dc_tables, ac_tables = _build_tables_from_freq(freq, n_tabs)
+        luts = luts_from_tables(dc_tables, ac_tables)
+        seg_words, seg_bits = fns["entropy_shared"](blocks, plan.plan,
+                                                    plan.scan_flat, luts)
+    else:
+        dc_tables, ac_tables = standard_tables()
+        luts = luts_from_tables(dc_tables, ac_tables)
+        seg_words, seg_bits = fns["encode"](stripes_dev, qt_dev, plan.plan,
+                                            plan.scan_flat, luts)
+
+    # host assembly: stripes' segments concatenate into one scan; RSTn counts
+    # the GLOBAL segment index (all_gather of segment bytes on multi-host)
+    seg_words = np.asarray(seg_words)
+    seg_bits = np.asarray(seg_bits)
+    segs_per_stripe = stripe_layout.n_segments
+    parts = []
+    for s in range(n_stripes):
+        g0 = s * segs_per_stripe
+        parts.append(segments_to_scan(seg_words[s], seg_bits[s], first_rst=g0))
+        if s < n_stripes - 1:
+            parts.append(bytes([0xFF, 0xD0 + ((g0 + segs_per_stripe - 1) % 8)]))
+    scan = b"".join(parts)
+
+    # headers describe the FULL image with DRI = r
+    file_layout = make_layout(h, w, mode, r)
+    hdr = build_headers(file_layout, list(qt_host), dc_tables, ac_tables)
+    return hdr + scan + b"\xff\xd9"

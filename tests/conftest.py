@@ -7,12 +7,20 @@ must be set before jax is first imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of ambient JAX_PLATFORMS (this box exports
+# JAX_PLATFORMS=axon for the single real TPU chip; tests must not use it).
+# NOTE: on this box the env var alone is ignored once the axon plugin is
+# registered — jax.config.update is authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

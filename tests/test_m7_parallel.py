@@ -1,0 +1,85 @@
+"""M7 gate: distribution layer on the 8-virtual-device CPU mesh.
+
+Sharded outputs must be BYTE-IDENTICAL to single-device outputs per image, and
+a striped single-image scan must equal the unsharded scan at the same restart
+interval (SURVEY.md section 5 item 7).
+"""
+import jax
+import numpy as np
+import pytest
+
+from jpgenc_tpu import api
+from jpgenc_tpu.decoder import decode
+from jpgenc_tpu.parallel.mesh import default_mesh, encode_batch, encode_striped
+from jpgenc_tpu.utils.metrics import psnr
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def _batch(rng, b, h, w, c=None):
+    shape = (b, h, w) if c is None else (b, h, w, c)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_batch_encode_matches_single_device_gray(rng):
+    imgs = _batch(rng, 8, 64, 64)
+    outs = encode_batch(imgs, quality=75)
+    assert len(outs) == 8
+    for i in range(8):
+        assert outs[i] == api.encode(imgs[i], quality=75)
+
+
+def test_batch_encode_matches_single_device_color(rng):
+    imgs = _batch(rng, 8, 64, 64, 3)
+    outs = encode_batch(imgs, quality=75, subsampling="420", restart_interval=2)
+    for i in range(8):
+        assert outs[i] == api.encode(imgs[i], quality=75, subsampling="420",
+                                     restart_interval=2)
+
+
+def test_batch_not_divisible_by_mesh(rng):
+    imgs = _batch(rng, 5, 64, 64)
+    outs = encode_batch(imgs, quality=75)
+    assert len(outs) == 5
+    for i in range(5):
+        assert outs[i] == api.encode(imgs[i], quality=75)
+
+
+def test_batch_optimized_huffman(rng):
+    imgs = _batch(rng, 4, 64, 64)
+    outs = encode_batch(imgs, quality=75, optimize=True)
+    for i in range(4):
+        assert outs[i] == api.encode(imgs[i], quality=75, optimize=True)
+
+
+def test_striped_equals_unsharded(gray_image):
+    # 128x128 gray: 16 MCU rows; 4 stripes of 4 rows; R=16 (one MCU row)
+    striped = encode_striped(gray_image, n_stripes=4, restart_interval=16)
+    single = api.encode(gray_image, quality=75, restart_interval=16)
+    assert striped == single
+
+
+def test_striped_color_equals_unsharded(rgb_image):
+    # rgb_image is 120x136 -> padded 128x144, 8x9 MCUs; 4 stripes of 2 MCU
+    # rows = 18 MCUs/stripe; R=6 divides 18
+    striped = encode_striped(rgb_image, n_stripes=4, subsampling="420",
+                             restart_interval=6)
+    single = api.encode(rgb_image, quality=75, subsampling="420",
+                        restart_interval=6)
+    assert striped == single
+
+
+def test_striped_default_interval_decodes(gray_image):
+    data = encode_striped(gray_image, n_stripes=8)
+    dec = decode(data)
+    assert psnr(dec, gray_image) > 28.0
+
+
+def test_striped_optimized_huffman(gray_image):
+    data = encode_striped(gray_image, n_stripes=4, restart_interval=16,
+                          optimize=True)
+    base = encode_striped(gray_image, n_stripes=4, restart_interval=16)
+    assert len(data) < len(base)
+    assert np.array_equal(decode(data), decode(base))
