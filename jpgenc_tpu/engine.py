@@ -28,7 +28,8 @@ from jpgenc_tpu.layout import FrameLayout
 from jpgenc_tpu.ops import color as C
 from jpgenc_tpu.ops import transform as X
 from jpgenc_tpu.ops.entropy import EntropyLUTs, SymbolPlan, make_pieces, symbol_histogram
-from jpgenc_tpu.ops.pack import pack_segments, words_per_segment
+from jpgenc_tpu.ops.pack import (MAX_BLOCK_BITS, pack_segments, stuff_compact,
+                                 words_per_segment)
 from jpgenc_tpu.ref.bitio import stuff_bytes
 
 
@@ -154,6 +155,57 @@ class DevicePlan:
         self._blocks = _blocks
         self._entropy = _entropy
         self._hist = _hist
+        self._bytes_fns: dict[tuple, dict] = {}
+
+    def bytes_fns(self, cap_u: int, cap_s: int) -> dict:
+        """Jitted pixels->stuffed-scan-bytes pipelines for given capacities.
+
+        These keep the whole finalize on device (SURVEY.md hard part 1 +
+        component #16 moved on-device); only `cap_s` bytes ever cross the
+        device->host boundary instead of the worst-case packed-word buffer.
+        """
+        key = (cap_u, cap_s)
+        if key not in self._bytes_fns:
+            lay, n_seg, words = self.layout, self.n_seg, self.words
+
+            @jax.jit
+            def _encode_bytes(img, qtabs, plan, scan_flat, luts, first_rst, n_rst):
+                blocks = pixels_to_blocks(img, lay, qtabs)
+                zz = blocks_to_scan(blocks, scan_flat)
+                w, b = scan_to_segments(zz, plan, luts, n_seg, words)
+                return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s)
+
+            @jax.jit
+            def _entropy_bytes(blocks, plan, scan_flat, luts, first_rst, n_rst):
+                zz = blocks_to_scan(blocks, scan_flat)
+                w, b = scan_to_segments(zz, plan, luts, n_seg, words)
+                return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s)
+
+            self._bytes_fns[key] = {"encode": _encode_bytes,
+                                    "entropy": _entropy_bytes}
+        return self._bytes_fns[key]
+
+    def encode_scan_bytes(self, img, qtabs, luts, cap_u: int, cap_s: int):
+        """Full device encode -> (scan bytes, ok). ok=False on cap overflow."""
+        fns = self.bytes_fns(cap_u, cap_s)
+        stuffed, out_len, raw_len = fns["encode"](
+            img, qtabs, self.plan, self.scan_flat, luts,
+            jnp.int32(0), jnp.int32(self.n_seg - 1))
+        stuffed, out_len, raw_len = jax.device_get((stuffed, out_len, raw_len))
+        if int(raw_len) > cap_u or int(out_len) > cap_s:
+            return b"", False
+        return stuffed[:int(out_len)].tobytes(), True
+
+    def entropy_scan_bytes(self, blocks, luts, cap_u: int, cap_s: int):
+        """Entropy-only device encode (pass 2 of optimize mode) -> bytes."""
+        fns = self.bytes_fns(cap_u, cap_s)
+        stuffed, out_len, raw_len = fns["entropy"](
+            blocks, self.plan, self.scan_flat, luts,
+            jnp.int32(0), jnp.int32(self.n_seg - 1))
+        stuffed, out_len, raw_len = jax.device_get((stuffed, out_len, raw_len))
+        if int(raw_len) > cap_u or int(out_len) > cap_s:
+            return b"", False
+        return stuffed[:int(out_len)].tobytes(), True
 
     # -- public ------------------------------------------------------------
 
@@ -204,6 +256,22 @@ def segments_to_scan(seg_words: np.ndarray, seg_bits: np.ndarray,
         if s < n_seg - 1:
             parts.append(bytes([0xFF, 0xD0 + ((first_rst + s) % 8)]))
     return b"".join(parts)
+
+
+def scan_caps(layout: FrameLayout, quality: int) -> tuple[int, int]:
+    """(cap_u, cap_s) static buffer capacities for the device finalize.
+
+    Sized from a quality-bucketed bits-per-coefficient-pixel heuristic,
+    clamped to the true worst case; overflow falls back to the host path.
+    """
+    px = sum(c.plane_h * c.plane_w for c in layout.comps)
+    bpp = 2.0 if quality <= 80 else (4.0 if quality <= 92 else 7.0)
+    worst = sum(c.n_blocks for c in layout.comps) * MAX_BLOCK_BITS // 8 + \
+        2 * layout.n_segments + 8
+    cap_u = min(int(px * bpp / 8) + 1024, worst)
+    cap_u = -(-cap_u // 1024) * 1024
+    cap_s = cap_u + cap_u // 16 + 64
+    return cap_u, cap_s
 
 
 def qtables_for_quality(quality: int) -> tuple[np.ndarray, jnp.ndarray]:

@@ -1,0 +1,232 @@
+// Native host tier: baseline-JPEG entropy scan decoder (SURVEY.md component
+// #20, call stack 4.4 hot loop). The scan is inherently sequential (T.81
+// F.2.2), so this is host C++ rather than a device kernel; it replaces the
+// per-bit Python reader with a 64-bit buffered reader plus an 8-bit Huffman
+// lookahead table (the classic libjpeg-style structure, re-derived from
+// T.81 F.2.2.3 — no reference code consulted).
+//
+// Built as a plain shared library; Python binds via ctypes (no pybind11 in
+// this environment).
+//
+// Error codes: 0 ok; <0 = malformed stream.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct HuffDecoder {
+    // canonical decode per T.81 F.2.2.3
+    int32_t mincode[17];
+    int32_t maxcode[17];   // -1 when no codes of this length
+    int32_t valptr[17];
+    const uint8_t* huffval;
+    // 8-bit lookahead: packed (symbol << 8) | code_length, 0 = miss
+    uint16_t look[256];
+
+    void build(const uint8_t* bits /*[16]*/, const uint8_t* vals /*[256]*/) {
+        huffval = vals;
+        int code = 0, k = 0;
+        for (int l = 1; l <= 16; ++l) {
+            valptr[l] = k;
+            mincode[l] = code;
+            int n = bits[l - 1];
+            code += n;
+            k += n;
+            maxcode[l] = n ? code - 1 : -1;
+            code <<= 1;
+        }
+        std::memset(look, 0, sizeof(look));
+        k = 0;
+        code = 0;
+        for (int l = 1; l <= 8; ++l) {
+            for (int n = 0; n < bits[l - 1]; ++n, ++k) {
+                int c = mincode[l] + n;
+                int lo = c << (8 - l);
+                int hi = lo + (1 << (8 - l));
+                for (int i = lo; i < hi; ++i)
+                    look[i] = (uint16_t)((vals[k] << 8) | l);
+            }
+        }
+    }
+};
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos = 0;      // next byte index
+    uint64_t acc = 0;     // MSB-aligned accumulator
+    int nbits = 0;
+    bool bad = false;
+
+    // Fill accumulator; stops before markers (0xFF non-00).
+    inline void fill() {
+        while (nbits <= 56) {
+            if (pos >= len) { acc |= 0; nbits += 8; continue; }  // 0-pad past end
+            uint8_t b = data[pos];
+            if (b == 0xFF) {
+                if (pos + 1 < len && data[pos + 1] == 0x00) {
+                    pos += 2;
+                } else {
+                    // marker: behave as end of segment (pad with zeros)
+                    nbits += 8;
+                    continue;
+                }
+            } else {
+                pos += 1;
+            }
+            acc |= (uint64_t)b << (56 - nbits);
+            nbits += 8;
+        }
+    }
+
+    inline int peek8() {
+        if (nbits < 8) fill();
+        return (int)(acc >> 56);
+    }
+
+    inline void drop(int n) {
+        acc <<= n;
+        nbits -= n;
+    }
+
+    inline int32_t get(int n) {   // read n bits MSB-first (n <= 16)
+        if (n == 0) return 0;
+        if (nbits < n) fill();
+        int32_t v = (int32_t)(acc >> (64 - n));
+        drop(n);
+        return v;
+    }
+
+    inline int decode(const HuffDecoder& h) {
+        int lk = h.look[peek8()];
+        if (lk) {
+            drop(lk & 0xFF);
+            return lk >> 8;
+        }
+        // slow path: lengths 9..16 (start from the 8 peeked bits)
+        int32_t code = peek8();
+        drop(8);
+        for (int l = 9; l <= 16; ++l) {
+            code = (code << 1) | get(1);
+            if (h.maxcode[l] >= 0 && code <= h.maxcode[l])
+                return h.huffval[h.valptr[l] + (code - h.mincode[l])];
+        }
+        bad = true;
+        return 0;
+    }
+};
+
+inline int32_t extend(int32_t v, int s) {   // T.81 F.2.2.1
+    if (s == 0) return 0;
+    return (v >= (1 << (s - 1))) ? v : v - (1 << s) + 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// data: full stuffed scan (with RSTn markers).
+// comp_dc/ac_tab: table id (0/1) per component.
+// dc_bits/dc_vals: [2][16]/[2][256]; likewise ac.
+// out: [n_total_blocks * 64] int32, pre-zeroed by caller.
+int decode_scan(const uint8_t* data, int64_t data_len,
+                int n_comps,
+                const int32_t* scan_comp, const int32_t* scan_flat,
+                int64_t n_scan,
+                const int32_t* comp_dc_tab, const int32_t* comp_ac_tab,
+                const uint8_t* dc_bits, const uint8_t* dc_vals,
+                const uint8_t* ac_bits, const uint8_t* ac_vals,
+                int64_t blocks_per_segment, int n_segments,
+                int32_t* out) {
+    HuffDecoder dc[2], ac[2];
+    for (int t = 0; t < 2; ++t) {
+        dc[t].build(dc_bits + 16 * t, dc_vals + 256 * t);
+        ac[t].build(ac_bits + 16 * t, ac_vals + 256 * t);
+    }
+
+    // Pre-split segments at RSTn markers (markers are never inside entropy
+    // data because stuffing escapes FF).
+    int64_t seg_start = 0;
+    int seg = 0;
+    int32_t pred[4] = {0, 0, 0, 0};
+
+    for (int s = 0; s < n_segments; ++s) {
+        // find end of this segment (next RSTn or end of data)
+        int64_t seg_end = data_len;
+        for (int64_t i = seg_start; i + 1 < data_len; ++i) {
+            if (data[i] == 0xFF) {
+                uint8_t m = data[i + 1];
+                if (m == 0x00) { ++i; continue; }
+                if (m >= 0xD0 && m <= 0xD7) { seg_end = i; break; }
+                seg_end = i;  // any other marker also terminates
+                break;
+            }
+        }
+
+        BitReader br{data + seg_start, seg_end - seg_start};
+        for (int c = 0; c < 4; ++c) pred[c] = 0;
+
+        int64_t j0 = (int64_t)s * blocks_per_segment;
+        int64_t j1 = j0 + blocks_per_segment;
+        if (j1 > n_scan) j1 = n_scan;
+        for (int64_t j = j0; j < j1; ++j) {
+            int ci = scan_comp[j];
+            if (ci < 0 || ci >= n_comps || ci >= 4) return -2;
+            int32_t* blk = out + (int64_t)scan_flat[j] * 64;
+            const HuffDecoder& hdc = dc[comp_dc_tab[ci]];
+            const HuffDecoder& hac = ac[comp_ac_tab[ci]];
+
+            int ssss = br.decode(hdc);
+            if (br.bad || ssss > 11) return -3;
+            pred[ci] += extend(br.get(ssss), ssss);
+            blk[0] = pred[ci];
+
+            int k = 1;
+            while (k < 64) {
+                int rs = br.decode(hac);
+                if (br.bad) return -4;
+                int r = rs >> 4, sz = rs & 15;
+                if (sz == 0) {
+                    if (rs == 0xF0) { k += 16; continue; }   // ZRL
+                    break;                                    // EOB
+                }
+                k += r;
+                if (k > 63) return -5;
+                blk[k] = extend(br.get(sz), sz);
+                ++k;
+            }
+        }
+        ++seg;
+        seg_start = seg_end + 2;   // skip RSTn
+    }
+    return 0;
+}
+
+// FF->FF00 stuffing + per-segment assembly used by the host fallback path:
+// words: [n_seg * w] u32 (MSB-first), bits: [n_seg].
+// out must hold worst case (2x bytes + 2 per segment). Returns output length.
+int64_t finalize_scan(const uint32_t* words, const int32_t* bits,
+                      int n_seg, int64_t w, int first_rst,
+                      uint8_t* out) {
+    int64_t o = 0;
+    for (int s = 0; s < n_seg; ++s) {
+        int64_t nbits = bits[s];
+        int64_t nbytes = (nbits + 7) >> 3;
+        int pad = (int)(nbytes * 8 - nbits);
+        const uint32_t* seg = words + (int64_t)s * w;
+        for (int64_t j = 0; j < nbytes; ++j) {
+            uint8_t b = (uint8_t)(seg[j >> 2] >> (8 * (3 - (j & 3))));
+            if (j == nbytes - 1 && pad) b |= (uint8_t)((1 << pad) - 1);
+            out[o++] = b;
+            if (b == 0xFF) out[o++] = 0x00;
+        }
+        if (s < n_seg - 1) {
+            out[o++] = 0xFF;
+            out[o++] = (uint8_t)(0xD0 + ((first_rst + s) & 7));
+        }
+    }
+    return o;
+}
+
+}  // extern "C"

@@ -23,6 +23,7 @@ counts.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _I32 = jnp.int32
@@ -74,6 +75,71 @@ def build_registers(piece_val: jnp.ndarray,
             reg[t] = reg[t] | _shift_into_word(v, a - 64 + 32 * t)
         pos = pos + ln
     return jnp.stack(reg, axis=-1), pos
+
+
+def stuff_compact(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
+                  first_rst: jnp.ndarray, n_rst: jnp.ndarray,
+                  cap_u: int, cap_s: int) -> tuple[jnp.ndarray, jnp.ndarray,
+                                                   jnp.ndarray]:
+    """Device-side scan finalize: segments -> one stuffed byte stream.
+
+    Replaces the host finalize entirely (gather-only — no data-dependent
+    shapes, no scatter): slice each segment to ceil(bits/8) bytes, set the
+    1-bit padding (T.81 F.1.2.3), join segments with RSTn markers, and apply
+    FF->FF00 byte stuffing. The only remaining host work is slicing the
+    returned buffer to `out_len` and concatenating headers/EOI.
+
+    seg_words: [n_seg, W] u32 MSB-first; seg_bits: [n_seg] i32.
+    first_rst: i32 scalar — global index offset for RSTn numbering (stripe
+      concatenation passes the stripe's global first segment index).
+    n_rst: i32 scalar — how many RSTn markers to emit (n_seg-1 for a whole
+      image; n_seg when a stripe must also carry its trailing RSTn).
+    cap_u / cap_s: static capacities (pre-/post-stuffing bytes). Outputs are
+      only valid when raw_len <= cap_u and out_len <= cap_s; the caller
+      checks and falls back to the host path on overflow.
+
+    Returns (stuffed [cap_s] u8, out_len i32, raw_len i32).
+    """
+    n_seg, w = seg_words.shape
+    wb = 4 * w
+
+    # --- segment words -> bytes [n_seg, 4W], with 1-padding in the last byte
+    by = jnp.stack([(seg_words >> 24) & 0xFF, (seg_words >> 16) & 0xFF,
+                    (seg_words >> 8) & 0xFF, seg_words & 0xFF],
+                   axis=-1).reshape(n_seg, wb).astype(_I32)
+    nbytes = (seg_bits + 7) >> 3
+    pad_mask = ((1 << ((-seg_bits) & 7)) - 1).astype(_I32)
+    col = jax.lax.broadcasted_iota(_I32, (n_seg, wb), 1)
+    by = by | jnp.where(col == (nbytes - 1)[:, None], pad_mask[:, None], 0)
+
+    # --- unstuffed stream U with RSTn joins: per-segment extent =
+    # nbytes + 2 marker bytes for the first n_rst segments
+    has_rst = (jnp.arange(n_seg, dtype=_I32) < n_rst).astype(_I32)
+    sizes = nbytes + 2 * has_rst
+    base = jnp.cumsum(sizes) - sizes                  # exclusive
+    raw_len = base[-1] + sizes[-1]
+
+    p = jnp.arange(cap_u, dtype=_I32)
+    s = jnp.clip(jnp.searchsorted(base, p, side="right") - 1, 0, n_seg - 1)
+    q = p - base[s]
+    in_stream = p < raw_len
+    in_data = (q < nbytes[s]) & in_stream
+    data_byte = by.reshape(-1)[s * wb + jnp.clip(q, 0, wb - 1)]
+    rst_num = 0xD0 + ((first_rst + s) & 7)
+    u = jnp.where(in_data, data_byte,
+                  jnp.where(in_stream & (q == nbytes[s]), 0xFF,
+                            jnp.where(in_stream, rst_num, 0)))
+
+    # --- FF->FF00 stuffing (entropy data only; marker FFs are never stuffed)
+    ff = in_data & (u == 0xFF)
+    ffc = jnp.cumsum(ff.astype(_I32))
+    pos_of_u = p + (ffc - ff.astype(_I32))            # output index of U[p]
+    out_len = raw_len + jnp.sum(jnp.where(in_stream, ff.astype(_I32), 0))
+
+    p2 = jnp.arange(cap_s, dtype=_I32)
+    src = jnp.clip(jnp.searchsorted(pos_of_u, p2, side="right") - 1, 0, cap_u - 1)
+    out = jnp.where(pos_of_u[src] == p2, u[src], 0)   # gaps = stuffed 0x00
+    return out.astype(jnp.uint8), out_len, raw_len
 
 
 def pack_segments(piece_val: jnp.ndarray, piece_len: jnp.ndarray,

@@ -51,16 +51,25 @@ def round_half_away(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.trunc(x + jnp.copysign(jnp.float32(0.5), x))
 
 
+# [64, 64] fused FDCT+zigzag operator: column k of _KDCT_ZZ computes zigzag
+# coefficient k of the 2-D DCT from a row-major flattened 8x8 block, i.e.
+# vec(C @ X @ C.T)[ZZ[k]] = vec(X) @ kron(C, C).T[:, ZZ[k]]. One [n,64]@[64,64]
+# matmul replaces n pairs of 8x8 matmuls — the shape the MXU actually tiles.
+_KDCT_ZZ = np.kron(_C, _C).T[:, np.asarray(T.ZIGZAG)].astype(np.float32)
+
+
 def plane_to_zigzag(plane_f32: jnp.ndarray, qtable_nat: jnp.ndarray) -> jnp.ndarray:
     """Padded float32 plane -> [n_blocks, 64] int32 quantized zigzag coefficients.
 
-    This is the jnp form of Pallas kernel K1's pipeline (SURVEY.md call stack 4.1).
+    This is the jnp form of Pallas kernel K1's pipeline (SURVEY.md call stack
+    4.1): level shift, FDCT, quantize, zigzag — fused into a single MXU matmul
+    with the quant reciprocal folded into the operator columns.
     """
-    blocks = blockify(plane_f32) - jnp.float32(128.0)
-    coef = fdct_blocks(blocks)
-    q = round_half_away(coef / qtable_nat.reshape(8, 8).astype(jnp.float32))
-    zz = q.reshape(-1, 64)[:, jnp.asarray(T.ZIGZAG)]
-    return zz.astype(jnp.int32)
+    x = blockify(plane_f32).reshape(-1, 64) - jnp.float32(128.0)
+    q_zz = qtable_nat.reshape(64).astype(jnp.float32)[jnp.asarray(T.ZIGZAG)]
+    coef = jnp.dot(x, jnp.asarray(_KDCT_ZZ),
+                   precision=jax.lax.Precision.HIGHEST)
+    return round_half_away(coef / q_zz[None, :]).astype(jnp.int32)
 
 
 def zigzag_to_plane(zz: jnp.ndarray, qtable_nat: jnp.ndarray,

