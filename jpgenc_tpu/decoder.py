@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jpgenc_tpu import native
 from jpgenc_tpu import tables as T
 from jpgenc_tpu.container.parser import ParsedJpeg, parse_jpeg
 from jpgenc_tpu.huffman import HuffTable
@@ -79,7 +80,20 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray:
-    """Entropy-decode the scan into the concatenated [n_total, 64] block array."""
+    """Entropy-decode the scan into the concatenated [n_total, 64] block array.
+
+    Uses the native C++ decoder (jpgenc_tpu.native) when available; the pure
+    Python reader below is the reference fallback and stays test-covered.
+    """
+    if native.available():
+        def by_id(d):
+            return [d[i] for i in sorted(d)] or [None]
+        out = native.decode_scan(
+            parsed.scan_data, layout,
+            [c.dc_tab for c in layout.comps], [c.ac_tab for c in layout.comps],
+            by_id(parsed.dc_tables), by_id(parsed.ac_tables))
+        if out is not None:
+            return out
     dc_luts = {i: _decode_lut(t) for i, t in parsed.dc_tables.items()}
     ac_luts = {i: _decode_lut(t) for i, t in parsed.ac_tables.items()}
 

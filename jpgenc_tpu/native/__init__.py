@@ -1,0 +1,133 @@
+"""Native host tier: C++ scan codec bound via ctypes (SURVEY.md section 3 —
+the role native code plays in production encoders; no pybind11 in this
+environment, so the library is a plain shared object built with g++).
+
+Builds lazily on first use and caches the .so next to the source; falls back
+cleanly (``LIB is None``) when no compiler is available so the pure-Python
+paths keep working.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "scan_codec.cpp")
+_SO = os.path.join(_DIR, "libscan_codec.so")
+
+LIB = None
+
+
+def _build() -> bool:
+    try:
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+            return True
+        # build to a temp file then rename, so concurrent importers never
+        # dlopen a half-written library
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
+        os.close(fd)
+        r = subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
+            capture_output=True, timeout=120)
+        if r.returncode != 0:
+            os.unlink(tmp)
+            return False
+        os.replace(tmp, _SO)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    global LIB
+    if LIB is not None:
+        return LIB
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_SO)
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.decode_scan.restype = ctypes.c_int
+    lib.decode_scan.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int,
+        i32p, i32p, ctypes.c_int64,
+        i32p, i32p,
+        u8p, u8p, u8p, u8p,
+        ctypes.c_int64, ctypes.c_int,
+        i32p,
+    ]
+    lib.finalize_scan.restype = ctypes.c_int64
+    lib.finalize_scan.argtypes = [
+        u32p, i32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int, u8p,
+    ]
+    LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_scan(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
+                dc_tables, ac_tables) -> np.ndarray | None:
+    """Entropy-decode a full stuffed scan (with RSTn) -> [n_total, 64] int32.
+
+    dc_tables/ac_tables: sequences of HuffTable (.bits [16] counts, .vals
+    symbols in code order) indexed by table id. Returns None if the native
+    library is unavailable; raises ValueError on malformed streams.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+
+    def pack(tabs):
+        bits = np.zeros((2, 16), np.uint8)
+        vals = np.zeros((2, 256), np.uint8)
+        for i, t in enumerate(tabs[:2]):
+            b = np.asarray(t.bits, np.uint8)
+            v = np.asarray(t.vals, np.uint8)
+            bits[i, :b.size] = b
+            vals[i, :v.size] = v
+        if len(tabs) == 1:
+            bits[1], vals[1] = bits[0], vals[0]
+        return bits.reshape(-1), vals.reshape(-1)
+
+    dc_bits, dc_vals = pack(dc_tables)
+    ac_bits, ac_vals = pack(ac_tables)
+    data = np.frombuffer(scan_data, np.uint8)
+    n_total = sum(c.n_blocks for c in layout.comps)
+    out = np.zeros(n_total * 64, np.int32)
+    rc = lib.decode_scan(
+        data, data.size, len(layout.comps),
+        np.ascontiguousarray(layout.scan_comp, np.int32),
+        np.ascontiguousarray(layout.scan_flat, np.int32),
+        layout.n_scan,
+        np.asarray(comp_dc_tab, np.int32), np.asarray(comp_ac_tab, np.int32),
+        dc_bits, dc_vals, ac_bits, ac_vals,
+        layout.blocks_per_segment, layout.n_segments,
+        out)
+    if rc != 0:
+        raise ValueError(f"native scan decode failed (code {rc})")
+    return out.reshape(n_total, 64)
+
+
+def finalize_scan(seg_words: np.ndarray, seg_bits: np.ndarray,
+                  first_rst: int = 0) -> bytes | None:
+    """Host fallback finalize: words+bits -> stuffed scan with RSTn joins."""
+    lib = _load()
+    if lib is None:
+        return None
+    seg_words = np.ascontiguousarray(seg_words, np.uint32)
+    seg_bits = np.ascontiguousarray(seg_bits, np.int32)
+    n_seg, w = seg_words.shape
+    worst = int(seg_bits.sum() // 8 + n_seg) * 2 + 2 * n_seg + 16
+    out = np.empty(worst, np.uint8)
+    n = lib.finalize_scan(seg_words.reshape(-1), seg_bits, n_seg, w,
+                          first_rst, out)
+    return out[:n].tobytes()

@@ -1,0 +1,76 @@
+"""Native C++ scan codec vs the pure-Python reference paths."""
+import numpy as np
+import pytest
+
+from jpgenc_tpu import native
+from jpgenc_tpu.api import encode
+from jpgenc_tpu.container.parser import parse_jpeg
+from jpgenc_tpu.decoder import decode_scan_to_blocks, layout_from_parsed
+from jpgenc_tpu.engine import segments_to_scan
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C++ toolchain")
+
+
+def _python_decode(parsed, layout):
+    """Force the pure-Python fallback path."""
+    import jpgenc_tpu.decoder as D
+    orig = native.available
+    try:
+        native.available = lambda: False
+        return D.decode_scan_to_blocks(parsed, layout)
+    finally:
+        native.available = orig
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(quality=75),
+    dict(quality=30, restart_interval=3),
+    dict(quality=90, optimize=True),
+])
+def test_native_decode_matches_python_gray(gray_image, kwargs):
+    data = encode(gray_image, **kwargs)
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    nat = decode_scan_to_blocks(parsed, layout)
+    ref = _python_decode(parsed, layout)
+    np.testing.assert_array_equal(nat, ref)
+
+
+@pytest.mark.parametrize("sub", ["420", "422", "444"])
+def test_native_decode_matches_python_color(rgb_image, sub):
+    data = encode(rgb_image, quality=75, subsampling=sub, restart_interval=2)
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    nat = decode_scan_to_blocks(parsed, layout)
+    ref = _python_decode(parsed, layout)
+    np.testing.assert_array_equal(nat, ref)
+
+
+def test_native_decode_pillow_file(rgb_image):
+    """Decode a libjpeg-produced file, not just our own output."""
+    import io
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(rgb_image).save(buf, format="JPEG", quality=80)
+    parsed = parse_jpeg(buf.getvalue())
+    layout = layout_from_parsed(parsed)
+    nat = decode_scan_to_blocks(parsed, layout)
+    ref = _python_decode(parsed, layout)
+    np.testing.assert_array_equal(nat, ref)
+
+
+def test_native_finalize_matches_host(gray_image):
+    from jpgenc_tpu.engine import (get_plan, luts_from_tables,
+                                   qtables_for_quality)
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.ref.encoder import standard_tables
+    layout = make_layout(*gray_image.shape, "gray", 4)
+    plan = get_plan(layout)
+    _, qt = qtables_for_quality(75)
+    dc_t, ac_t = standard_tables()
+    seg_w, seg_b = plan.encode_segments(gray_image, qt,
+                                        luts_from_tables(dc_t, ac_t))
+    seg_w, seg_b = np.asarray(seg_w), np.asarray(seg_b)
+    assert native.finalize_scan(seg_w, seg_b, 2) == \
+        segments_to_scan(seg_w, seg_b, first_rst=2)
