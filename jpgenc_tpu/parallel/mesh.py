@@ -37,7 +37,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jpgenc_tpu.config import EncodeConfig
 from jpgenc_tpu.container.jfif import build_headers
 from jpgenc_tpu.engine import (DevicePlan, get_plan, luts_from_tables,
-                               qtables_for_quality, segments_to_scan)
+                               qtables_for_quality, scan_caps,
+                               segments_to_scan)
+from jpgenc_tpu.ops.pack import stuff_compact
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import symbol_histogram
@@ -56,10 +58,13 @@ def default_mesh(axis: str = "batch") -> Mesh:
 _BATCHED: dict[tuple, dict] = {}
 
 
-def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh) -> dict:
-    key = (id(plan), batch, tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
+                 caps: tuple[int, int]) -> dict:
+    key = (id(plan), batch, tuple(d.id for d in mesh.devices.flat),
+           mesh.axis_names, caps)
     if key in _BATCHED:
         return _BATCHED[key]
+    cap_u, cap_s = caps
 
     lay = plan.layout
     n_seg, words = plan.n_seg, plan.words
@@ -73,6 +78,10 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh) -> dict:
         zz = blocks_to_scan(blocks, scan_flat)
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
+    def _enc1_bytes(img, qtabs, splan, scan_flat, luts, first_rst, n_rst):
+        w, b = _enc1(img, qtabs, splan, scan_flat, luts)
+        return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s)
+
     def _blocks1(img, qtabs):
         return pixels_to_blocks(img, lay, qtabs)
 
@@ -83,13 +92,22 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh) -> dict:
         zz = blocks_to_scan(blocks, scan_flat)
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
+    def _entropy1_bytes(blocks, splan, scan_flat, luts, first_rst, n_rst):
+        w, b = _entropy1(blocks, splan, scan_flat, luts)
+        return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s)
+
     nb = sum(c.n_blocks for c in lay.comps)
     sh_blk = NamedSharding(mesh, P(ax, None, None))
 
+    sh_rst = NamedSharding(mesh, P(ax))
     fns = {
         "encode": jax.jit(
             jax.vmap(_enc1, in_axes=(0, None, None, None, None)),
             in_shardings=(sh_img, rep, rep, rep, rep)),
+        # device finalize: per-item first_rst/n_rst (stripe numbering)
+        "encode_bytes": jax.jit(
+            jax.vmap(_enc1_bytes, in_axes=(0, None, None, None, None, 0, 0)),
+            in_shardings=(sh_img, rep, rep, rep, rep, sh_rst, sh_rst)),
         "blocks": jax.jit(
             jax.vmap(_blocks1, in_axes=(0, None)),
             in_shardings=(sh_img, rep)),
@@ -97,10 +115,16 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh) -> dict:
         "entropy_perimg": jax.jit(
             jax.vmap(_entropy1, in_axes=(0, None, None, 0)),
             in_shardings=(sh_blk, rep, rep, sh_blk)),
+        "entropy_bytes_perimg": jax.jit(
+            jax.vmap(_entropy1_bytes, in_axes=(0, None, None, 0, 0, 0)),
+            in_shardings=(sh_blk, rep, rep, sh_blk, sh_rst, sh_rst)),
         # shared LUTs (striped single image): replicated tables
         "entropy_shared": jax.jit(
             jax.vmap(_entropy1, in_axes=(0, None, None, None)),
             in_shardings=(sh_blk, rep, rep, rep)),
+        "entropy_bytes_shared": jax.jit(
+            jax.vmap(_entropy1_bytes, in_axes=(0, None, None, None, 0, 0)),
+            in_shardings=(sh_blk, rep, rep, rep, sh_rst, sh_rst)),
         "hist": jax.jit(
             jax.vmap(_hist1, in_axes=(0, None, None)),
             in_shardings=(sh_blk, rep, rep)),
@@ -110,6 +134,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh) -> dict:
                                                  ).sum(axis=0),
             in_shardings=(sh_blk, rep, rep)),
         "sharding_img": sh_img,
+        "caps": caps,
     }
     _BATCHED[key] = fns
     return fns
@@ -145,9 +170,13 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     mode = "gray" if imgs.ndim == 3 else cfg.subsampling
     layout = make_layout(imgs.shape[1], imgs.shape[2], mode, cfg.restart_interval)
     plan = get_plan(layout)
-    fns = _batched_fns(plan, imgs.shape[0], mesh)
+    caps = scan_caps(layout, cfg.quality)
+    fns = _batched_fns(plan, imgs.shape[0], mesh, caps)
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
     imgs_dev = jax.device_put(imgs, fns["sharding_img"])
+    bp = imgs.shape[0]
+    first_rst = jnp.zeros(bp, jnp.int32)
+    n_rst = jnp.full(bp, layout.n_segments - 1, jnp.int32)
 
     n_tabs = 1 if layout.is_gray else 2
     if cfg.optimize_huffman:
@@ -159,22 +188,37 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
             per_img_tables[b:] = [per_img_tables[b - 1]] * pad
         luts_list = [luts_from_tables(dc, ac) for dc, ac in per_img_tables]
         luts_b = jax.tree.map(lambda *xs: jnp.stack(xs), *luts_list)
-        seg_words, seg_bits = fns["entropy_perimg"](blocks, plan.plan,
-                                                    plan.scan_flat, luts_b)
+        stuffed, out_len, raw_len = fns["entropy_bytes_perimg"](
+            blocks, plan.plan, plan.scan_flat, luts_b, first_rst, n_rst)
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        seg_words, seg_bits = fns["encode"](imgs_dev, qt_dev, plan.plan,
-                                            plan.scan_flat, luts)
+        blocks = None
+        stuffed, out_len, raw_len = fns["encode_bytes"](
+            imgs_dev, qt_dev, plan.plan, plan.scan_flat, luts,
+            first_rst, n_rst)
 
-    seg_words = np.asarray(seg_words)
-    seg_bits = np.asarray(seg_bits)
+    stuffed, out_len, raw_len = jax.device_get((stuffed, out_len, raw_len))
+    overflow = (raw_len > caps[0]) | (out_len > caps[1])
+    if overflow.any():  # rare: re-run overflowing images via the word path
+        if cfg.optimize_huffman:
+            seg_words, seg_bits = fns["entropy_perimg"](blocks, plan.plan,
+                                                        plan.scan_flat, luts_b)
+        else:
+            seg_words, seg_bits = fns["encode"](imgs_dev, qt_dev, plan.plan,
+                                                plan.scan_flat, luts)
+        seg_words = np.asarray(seg_words)
+        seg_bits = np.asarray(seg_bits)
+
     out = []
     for i in range(b):
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
         hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
-        scan = segments_to_scan(seg_words[i], seg_bits[i])
+        if overflow[i]:
+            scan = segments_to_scan(seg_words[i], seg_bits[i])
+        else:
+            scan = stuffed[i, :int(out_len[i])].tobytes()
         out.append(hdr + scan + b"\xff\xd9")
     return out
 
@@ -232,10 +276,19 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
 
     stripe_layout = make_layout(stripes.shape[1], pw, mode, r)
     plan = get_plan(stripe_layout)
-    fns = _batched_fns(plan, n_stripes, mesh)
+    caps = scan_caps(stripe_layout, quality)
+    fns = _batched_fns(plan, n_stripes, mesh, caps)
     qt_host, qt_dev = qtables_for_quality(quality)
     stripes_dev = jax.device_put(stripes, fns["sharding_img"])
     n_tabs = 1 if stripe_layout.is_gray else 2
+
+    # device finalize per stripe: RSTn numbering counts the GLOBAL segment
+    # index, and every stripe but the last carries its trailing RSTn
+    # (SURVEY.md hard part 5)
+    segs_per_stripe = stripe_layout.n_segments
+    first_rst = jnp.arange(n_stripes, dtype=jnp.int32) * segs_per_stripe
+    n_rst = jnp.where(jnp.arange(n_stripes) < n_stripes - 1,
+                      segs_per_stripe, segs_per_stripe - 1).astype(jnp.int32)
 
     if optimize:
         blocks = fns["blocks"](stripes_dev, qt_dev)
@@ -243,25 +296,40 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
         freq = np.asarray(fns["hist_sum"](blocks, plan.plan, plan.scan_flat))
         dc_tables, ac_tables = _build_tables_from_freq(freq, n_tabs)
         luts = luts_from_tables(dc_tables, ac_tables)
-        seg_words, seg_bits = fns["entropy_shared"](blocks, plan.plan,
-                                                    plan.scan_flat, luts)
+        stuffed, out_len, raw_len = fns["entropy_bytes_shared"](
+            blocks, plan.plan, plan.scan_flat, luts, first_rst, n_rst)
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        seg_words, seg_bits = fns["encode"](stripes_dev, qt_dev, plan.plan,
-                                            plan.scan_flat, luts)
+        blocks = None
+        stuffed, out_len, raw_len = fns["encode_bytes"](
+            stripes_dev, qt_dev, plan.plan, plan.scan_flat, luts,
+            first_rst, n_rst)
 
-    # host assembly: stripes' segments concatenate into one scan; RSTn counts
-    # the GLOBAL segment index (all_gather of segment bytes on multi-host)
-    seg_words = np.asarray(seg_words)
-    seg_bits = np.asarray(seg_bits)
-    segs_per_stripe = stripe_layout.n_segments
+    # host assembly: slice each stripe's stuffed segment run and concatenate
+    # into one scan (multi-host: process_allgather of the per-stripe blobs)
+    stuffed, out_len, raw_len = jax.device_get((stuffed, out_len, raw_len))
+    overflow = (raw_len > caps[0]) | (out_len > caps[1])
+    if overflow.any():
+        if optimize:
+            seg_words, seg_bits = fns["entropy_shared"](blocks, plan.plan,
+                                                        plan.scan_flat, luts)
+        else:
+            seg_words, seg_bits = fns["encode"](stripes_dev, qt_dev, plan.plan,
+                                                plan.scan_flat, luts)
+        seg_words = np.asarray(seg_words)
+        seg_bits = np.asarray(seg_bits)
     parts = []
     for s in range(n_stripes):
-        g0 = s * segs_per_stripe
-        parts.append(segments_to_scan(seg_words[s], seg_bits[s], first_rst=g0))
-        if s < n_stripes - 1:
-            parts.append(bytes([0xFF, 0xD0 + ((g0 + segs_per_stripe - 1) % 8)]))
+        if overflow[s]:
+            g0 = s * segs_per_stripe
+            parts.append(segments_to_scan(seg_words[s], seg_bits[s],
+                                          first_rst=g0))
+            if s < n_stripes - 1:
+                parts.append(bytes([0xFF,
+                                    0xD0 + ((g0 + segs_per_stripe - 1) % 8)]))
+        else:
+            parts.append(stuffed[s, :int(out_len[s])].tobytes())
     scan = b"".join(parts)
 
     # headers describe the FULL image with DRI = r
