@@ -1,0 +1,86 @@
+"""Checkpointed batch encode driver (SURVEY.md section 6: failure detection /
+recovery, checkpoint/resume, metrics).
+
+Encodes a list of images to files in fixed-size chunks through the sharded
+`encode_batch` path, appending one manifest line per finished image. On
+restart, finished images (keyed by index + output path) are skipped, so a
+killed run resumes idempotently — the failure-recovery model for SPMD
+pipelines with no in-flight elasticity (a failed host means relaunch from the
+manifest).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import numpy as np
+
+
+@dataclass
+class BatchResult:
+    done: int          # images finished in this run
+    skipped: int       # images already in the manifest
+    mpix_per_s: float
+
+
+def _load_manifest(path: str) -> dict[int, str]:
+    done: dict[int, str] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    done[int(rec["index"])] = rec["output"]
+                except (ValueError, KeyError):
+                    continue   # torn write from a crashed run: redo that image
+    return done
+
+
+def run_batch(images: Sequence[np.ndarray] | np.ndarray,
+              output_paths: Sequence[str],
+              manifest_path: str,
+              quality: int = 75,
+              subsampling: str = "420",
+              restart_interval: int = 0,
+              optimize: bool = False,
+              chunk_size: int = 16,
+              mesh=None,
+              encode_chunk: Callable | None = None) -> BatchResult:
+    """Encode images[i] -> output_paths[i] with resume via the manifest.
+
+    `encode_chunk(imgs, ...)` defaults to parallel.mesh.encode_batch; override
+    for tests / fault injection.
+    """
+    if len(images) != len(output_paths):
+        raise ValueError("images and output_paths length mismatch")
+    if encode_chunk is None:
+        from jpgenc_tpu.parallel.mesh import encode_batch as encode_chunk
+
+    done = _load_manifest(manifest_path)
+    todo = [i for i in range(len(images))
+            if done.get(i) != output_paths[i]]
+    skipped = len(images) - len(todo)
+
+    px_done = 0
+    t0 = time.perf_counter()
+    with open(manifest_path, "a") as mf:
+        for lo in range(0, len(todo), chunk_size):
+            idxs = todo[lo:lo + chunk_size]
+            chunk = np.stack([np.asarray(images[i]) for i in idxs])
+            outs = encode_chunk(chunk, quality=quality,
+                                subsampling=subsampling,
+                                restart_interval=restart_interval,
+                                optimize=optimize, mesh=mesh)
+            for i, data in zip(idxs, outs):
+                with open(output_paths[i], "wb") as f:
+                    f.write(data)
+                mf.write(json.dumps({"index": i, "output": output_paths[i],
+                                     "bytes": len(data)}) + "\n")
+                mf.flush()       # manifest line lands only after the file does
+                px_done += chunk.shape[1] * chunk.shape[2]
+    dt = max(time.perf_counter() - t0, 1e-9)
+    return BatchResult(done=len(todo), skipped=skipped,
+                       mpix_per_s=px_done / dt / 1e6)

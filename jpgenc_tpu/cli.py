@@ -1,0 +1,120 @@
+"""Command-line interface (SURVEY.md layer F): encode / decode / bench.
+
+Usage:
+  python -m jpgenc_tpu encode IN.{png,ppm,jpg,...} OUT.jpg [--quality Q]
+      [--subsampling 444|422|420] [--restart N] [--optimize] [--stripes N]
+  python -m jpgenc_tpu decode IN.jpg OUT.png
+  python -m jpgenc_tpu bench [--size HxW] [--quality Q] [--frames N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path)
+    if img.mode not in ("L", "RGB"):
+        img = img.convert("RGB")
+    return np.asarray(img)
+
+
+def _save_image(path: str, arr: np.ndarray) -> None:
+    from PIL import Image
+    Image.fromarray(arr).save(path)
+
+
+def cmd_encode(args: argparse.Namespace) -> int:
+    from jpgenc_tpu.api import encode
+    img = _load_image(args.input)
+    t0 = time.perf_counter()
+    if args.stripes > 1:
+        from jpgenc_tpu.parallel.mesh import encode_striped
+        data = encode_striped(img, n_stripes=args.stripes,
+                              quality=args.quality,
+                              subsampling=args.subsampling,
+                              restart_interval=args.restart,
+                              optimize=args.optimize)
+    else:
+        data = encode(img, quality=args.quality, subsampling=args.subsampling,
+                      restart_interval=args.restart, optimize=args.optimize)
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(data)
+    px = img.shape[0] * img.shape[1]
+    print(f"{args.output}: {len(data)} bytes, {8 * len(data) / px:.3f} bpp, "
+          f"{px / dt / 1e6:.1f} MPix/s", file=sys.stderr)
+    return 0
+
+
+def cmd_decode(args: argparse.Namespace) -> int:
+    from jpgenc_tpu.api import decode
+    with open(args.input, "rb") as f:
+        data = f.read()
+    arr = decode(data)
+    _save_image(args.output, arr)
+    print(f"{args.output}: {arr.shape}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    from jpgenc_tpu.api import encode
+    h, w = (int(x) for x in args.size.split("x"))
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 96 * np.sin(xx / 17) * np.cos(yy / 23) + 0.35 * xx + 96
+    img = np.clip(np.stack([base + 25 * c + rng.normal(0, 12, (h, w))
+                            for c in range(3)], -1), 0, 255).astype(np.uint8)
+    data = encode(img, quality=args.quality)          # warm/compile
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        data = encode(img, quality=args.quality)
+    dt = (time.perf_counter() - t0) / args.frames
+    print(json.dumps({
+        "size": args.size, "quality": args.quality,
+        "mpix_per_s": round(h * w / dt / 1e6, 2),
+        "bpp": round(8 * len(data) / (h * w), 3),
+    }))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="jpgenc_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode", help="encode an image to baseline JFIF")
+    e.add_argument("input")
+    e.add_argument("output")
+    e.add_argument("--quality", type=int, default=75)
+    e.add_argument("--subsampling", choices=["444", "422", "420"],
+                   default="420")
+    e.add_argument("--restart", type=int, default=0,
+                   help="restart interval in MCUs (0 = off)")
+    e.add_argument("--optimize", action="store_true",
+                   help="two-pass optimized Huffman tables")
+    e.add_argument("--stripes", type=int, default=1,
+                   help="shard MCU-row stripes over the device mesh")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help="decode a baseline JFIF file")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.set_defaults(fn=cmd_decode)
+
+    b = sub.add_parser("bench", help="quick throughput check")
+    b.add_argument("--size", default="1080x1920")
+    b.add_argument("--quality", type=int, default=75)
+    b.add_argument("--frames", type=int, default=10)
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
