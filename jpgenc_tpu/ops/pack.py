@@ -130,15 +130,18 @@ def stuff_compact(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
                   jnp.where(in_stream & (q == nbytes[s]), 0xFF,
                             jnp.where(in_stream, rst_num, 0)))
 
-    # --- FF->FF00 stuffing (entropy data only; marker FFs are never stuffed)
+    # --- FF->FF00 stuffing (entropy data only; marker FFs are never stuffed).
+    # pos_of_u is strictly increasing, so a sorted unique scatter places every
+    # byte; the gaps it leaves are exactly the stuffed 0x00 positions (the
+    # output buffer is zero-initialized). Positions past the stream scatter
+    # zeros beyond out_len, which the caller slices away.
     ff = in_data & (u == 0xFF)
     ffc = jnp.cumsum(ff.astype(_I32))
     pos_of_u = p + (ffc - ff.astype(_I32))            # output index of U[p]
     out_len = raw_len + jnp.sum(jnp.where(in_stream, ff.astype(_I32), 0))
 
-    p2 = jnp.arange(cap_s, dtype=_I32)
-    src = jnp.clip(jnp.searchsorted(pos_of_u, p2, side="right") - 1, 0, cap_u - 1)
-    out = jnp.where(pos_of_u[src] == p2, u[src], 0)   # gaps = stuffed 0x00
+    out = jnp.zeros(cap_s, _I32).at[pos_of_u].set(
+        u, mode="drop", unique_indices=True, indices_are_sorted=True)
     return out.astype(jnp.uint8), out_len, raw_len
 
 
