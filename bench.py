@@ -53,10 +53,12 @@ def main() -> None:
     from jpgenc_tpu.ref.encoder import standard_tables
     from jax.sharding import Mesh
 
+    from jpgenc_tpu.ops.pack import w_blk_for_quality
+
     frames = _test_frames(H, W, B)
     layout = make_layout(H, W, "420", 0)
     plan = get_plan(layout)
-    caps = scan_caps(layout, 75)
+    caps = scan_caps(layout, 75) + (w_blk_for_quality(75),)
     qt_host, qt_dev = qtables_for_quality(75)
     dc_t, ac_t = standard_tables()
     luts = luts_from_tables(dc_t, ac_t)
@@ -71,7 +73,7 @@ def main() -> None:
     frames_dev = jax.device_put(frames, fns["sharding_img"])
 
     def run_once():
-        stuffed, out_len, raw_len = fns["encode_bytes"](
+        stuffed, out_len, raw_len, ovf = fns["encode_bytes"](
             frames_dev, qt_dev, plan.plan, plan.scan_flat, luts,
             first_rst, n_rst)
         stuffed, out_len = jax.device_get((stuffed, out_len))

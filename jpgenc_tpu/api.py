@@ -8,6 +8,7 @@ from jpgenc_tpu.config import EncodeConfig
 from jpgenc_tpu.container.jfif import build_headers
 from jpgenc_tpu.engine import (get_plan, luts_from_tables, qtables_for_quality,
                                scan_caps, segments_to_scan)
+from jpgenc_tpu.ops.pack import w_blk_for_quality
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.decoder import decode  # noqa: F401  (public API re-export)
@@ -30,6 +31,7 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
 
     cap_u, cap_s = scan_caps(layout, cfg.quality)
+    w_blk = w_blk_for_quality(cfg.quality)
     if cfg.optimize_huffman:
         blocks = plan.blocks(img, qt_dev)
         freq = np.asarray(plan.histogram(blocks))
@@ -39,14 +41,15 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
         ac_tables = [build_codes(*optimize_tables(freq[1, t].astype(np.int64)))
                      for t in range(n_tabs)]
         luts = luts_from_tables(dc_tables, ac_tables)
-        scan, ok = plan.entropy_scan_bytes(blocks, luts, cap_u, cap_s)
+        scan, ok = plan.entropy_scan_bytes(blocks, luts, cap_u, cap_s, w_blk)
         if not ok:  # capacity overflow: host finalize on the full word buffer
             seg_words, seg_bits = plan.entropy_segments(blocks, luts)
             scan = segments_to_scan(np.asarray(seg_words), np.asarray(seg_bits))
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        scan, ok = plan.encode_scan_bytes(img, qt_dev, luts, cap_u, cap_s)
+        scan, ok = plan.encode_scan_bytes(img, qt_dev, luts, cap_u, cap_s,
+                                          w_blk)
         if not ok:
             seg_words, seg_bits = plan.encode_segments(img, qt_dev, luts)
             scan = segments_to_scan(np.asarray(seg_words), np.asarray(seg_bits))

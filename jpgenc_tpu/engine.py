@@ -28,8 +28,9 @@ from jpgenc_tpu.layout import FrameLayout
 from jpgenc_tpu.ops import color as C
 from jpgenc_tpu.ops import transform as X
 from jpgenc_tpu.ops.entropy import EntropyLUTs, SymbolPlan, make_pieces, symbol_histogram
-from jpgenc_tpu.ops.pack import (MAX_BLOCK_BITS, pack_segments, stuff_compact,
-                                 words_per_segment)
+from jpgenc_tpu.ops.pack import (MAX_BLOCK_BITS, block_pack, pack_segments,
+                                 segments_from_blocks, stuff_compact,
+                                 w_blk_for_quality, words_per_segment)
 from jpgenc_tpu.ref.bitio import stuff_bytes
 
 
@@ -113,6 +114,24 @@ def scan_to_segments(zz_scan: jnp.ndarray, plan: SymbolPlan, luts: EntropyLUTs,
     return pack_segments(pv, pl, n_seg, words)
 
 
+def scan_to_segments_blocked(zz_scan: jnp.ndarray, plan: SymbolPlan,
+                             luts: EntropyLUTs, n_seg: int, w_blk: int
+                             ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Block-granular pack: per-block buffers then one sorted merge scatter.
+
+    10x fewer scatter indices than the per-slot path (SURVEY.md hard part 1
+    redesign). Returns (seg_words, seg_bits, overflowed) — `overflowed` is a
+    traced bool scalar; when True the words are invalid and the caller must
+    fall back to the worst-case per-slot path.
+    """
+    spb = zz_scan.shape[0] // n_seg
+    w_seg = spb * w_blk + 2
+    pv, pl = make_pieces(zz_scan, plan, luts)
+    buf, bits = block_pack(pv, pl, w_blk)
+    seg_words, seg_bits = segments_from_blocks(buf, bits, n_seg, w_seg)
+    return seg_words, seg_bits, jnp.max(bits) > w_blk * 32
+
+
 # ---------------------------------------------------------------------------
 # Compiled plan cache
 # ---------------------------------------------------------------------------
@@ -157,55 +176,58 @@ class DevicePlan:
         self._hist = _hist
         self._bytes_fns: dict[tuple, dict] = {}
 
-    def bytes_fns(self, cap_u: int, cap_s: int) -> dict:
+    def bytes_fns(self, cap_u: int, cap_s: int, w_blk: int) -> dict:
         """Jitted pixels->stuffed-scan-bytes pipelines for given capacities.
 
         These keep the whole finalize on device (SURVEY.md hard part 1 +
         component #16 moved on-device); only `cap_s` bytes ever cross the
         device->host boundary instead of the worst-case packed-word buffer.
+        The pack runs block-granular with `w_blk` words per block; the last
+        returned value flags per-block overflow (invalid output -> caller
+        falls back to the worst-case per-slot path).
         """
-        key = (cap_u, cap_s)
+        key = (cap_u, cap_s, w_blk)
         if key not in self._bytes_fns:
-            lay, n_seg, words = self.layout, self.n_seg, self.words
+            lay, n_seg = self.layout, self.n_seg
 
             @jax.jit
             def _encode_bytes(img, qtabs, plan, scan_flat, luts, first_rst, n_rst):
                 blocks = pixels_to_blocks(img, lay, qtabs)
                 zz = blocks_to_scan(blocks, scan_flat)
-                w, b = scan_to_segments(zz, plan, luts, n_seg, words)
-                return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s)
+                w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
+                return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
 
             @jax.jit
             def _entropy_bytes(blocks, plan, scan_flat, luts, first_rst, n_rst):
                 zz = blocks_to_scan(blocks, scan_flat)
-                w, b = scan_to_segments(zz, plan, luts, n_seg, words)
-                return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s)
+                w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
+                return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
 
             self._bytes_fns[key] = {"encode": _encode_bytes,
                                     "entropy": _entropy_bytes}
         return self._bytes_fns[key]
 
-    def encode_scan_bytes(self, img, qtabs, luts, cap_u: int, cap_s: int):
-        """Full device encode -> (scan bytes, ok). ok=False on cap overflow."""
-        fns = self.bytes_fns(cap_u, cap_s)
-        stuffed, out_len, raw_len = fns["encode"](
-            img, qtabs, self.plan, self.scan_flat, luts,
-            jnp.int32(0), jnp.int32(self.n_seg - 1))
-        stuffed, out_len, raw_len = jax.device_get((stuffed, out_len, raw_len))
-        if int(raw_len) > cap_u or int(out_len) > cap_s:
+    def _finish_bytes(self, outs, cap_u, cap_s):
+        stuffed, out_len, raw_len, ovf = jax.device_get(outs)
+        if bool(ovf) or int(raw_len) > cap_u or int(out_len) > cap_s:
             return b"", False
         return stuffed[:int(out_len)].tobytes(), True
 
-    def entropy_scan_bytes(self, blocks, luts, cap_u: int, cap_s: int):
+    def encode_scan_bytes(self, img, qtabs, luts, cap_u: int, cap_s: int,
+                          w_blk: int):
+        """Full device encode -> (scan bytes, ok). ok=False on any overflow."""
+        fns = self.bytes_fns(cap_u, cap_s, w_blk)
+        outs = fns["encode"](img, qtabs, self.plan, self.scan_flat, luts,
+                             jnp.int32(0), jnp.int32(self.n_seg - 1))
+        return self._finish_bytes(outs, cap_u, cap_s)
+
+    def entropy_scan_bytes(self, blocks, luts, cap_u: int, cap_s: int,
+                           w_blk: int):
         """Entropy-only device encode (pass 2 of optimize mode) -> bytes."""
-        fns = self.bytes_fns(cap_u, cap_s)
-        stuffed, out_len, raw_len = fns["entropy"](
-            blocks, self.plan, self.scan_flat, luts,
-            jnp.int32(0), jnp.int32(self.n_seg - 1))
-        stuffed, out_len, raw_len = jax.device_get((stuffed, out_len, raw_len))
-        if int(raw_len) > cap_u or int(out_len) > cap_s:
-            return b"", False
-        return stuffed[:int(out_len)].tobytes(), True
+        fns = self.bytes_fns(cap_u, cap_s, w_blk)
+        outs = fns["entropy"](blocks, self.plan, self.scan_flat, luts,
+                              jnp.int32(0), jnp.int32(self.n_seg - 1))
+        return self._finish_bytes(outs, cap_u, cap_s)
 
     # -- public ------------------------------------------------------------
 

@@ -77,6 +77,71 @@ def build_registers(piece_val: jnp.ndarray,
     return jnp.stack(reg, axis=-1), pos
 
 
+def w_blk_for_quality(quality: int) -> int:
+    """Per-block word capacity bucket for the block-granular pack path.
+
+    56 words covers the true worst case (MAX_BLOCK_BITS), so the top bucket
+    never overflows; smaller buckets trade a rare whole-image fallback for a
+    10x smaller scatter index count.
+    """
+    if quality <= 80:
+        return 24
+    if quality <= 92:
+        return 32
+    return 56
+
+
+def block_pack(piece_val: jnp.ndarray, piece_len: jnp.ndarray,
+               w_blk: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pack each block's pieces into its own [w_blk]-word buffer.
+
+    This is pack_segments with one segment per block — the first stage of the
+    block-granular pipeline (SURVEY.md hard part 1 redesign: scatter index
+    count drops from slots*4 to blocks*(w_blk+1)). Returns
+    (buf [n_blocks, w_blk] u32 MSB-first, bits [n_blocks] i32). A block whose
+    stream exceeds w_blk*32 bits overflows (contributions dropped); callers
+    must check `bits.max()` and fall back to the worst-case path.
+    """
+    n_blocks = piece_val.shape[0]
+    return pack_segments(piece_val, piece_len, n_blocks, w_blk)
+
+
+def segments_from_blocks(buf: jnp.ndarray, bits: jnp.ndarray,
+                         n_seg: int, w_seg: int) -> tuple[jnp.ndarray,
+                                                          jnp.ndarray]:
+    """Concatenate per-block bitstreams into per-segment streams.
+
+    buf: [n_blocks, W] u32 per-block buffers; bits: [n_blocks]. n_blocks must
+    be n_seg * blocks_per_segment (scan order, segment-major). Gather-free:
+    per-block funnel shift by the segment-relative bit offset (elementwise,
+    static word taps) + one fully-sorted flat scatter-add of
+    n_blocks*(W+1) words.
+    """
+    n_blocks, w = buf.shape
+    spb = n_blocks // n_seg
+    b2 = bits.reshape(n_seg, spb)
+    csum = jnp.cumsum(b2, axis=1)
+    seg_bits = csum[:, -1]
+    off = (csum - b2).reshape(-1)                     # [n_blocks] exclusive
+    r = (off & 31).astype(_I32)[:, None]              # bit shift within word
+    w0 = (off >> 5).astype(_I32)
+
+    # funnel-shift each row right by r bits, spilling into word W
+    prev = jnp.concatenate(
+        [jnp.zeros((n_blocks, 1), _U32), buf[:, :-1]], axis=1)
+    lo = jnp.concatenate([buf, jnp.zeros((n_blocks, 1), _U32)], axis=1)
+    hi = jnp.concatenate([prev, buf[:, -1:]], axis=1)
+    sh = _shift_into_word(lo, -r) | _shift_into_word(hi, 32 - r)  # [n, W+1]
+
+    seg_of = jnp.repeat(jnp.arange(n_seg, dtype=_I32), spb)
+    base = seg_of * w_seg + w0                        # [n_blocks], sorted
+    out = jnp.zeros(n_seg * w_seg, _U32)
+    for i in range(w + 1):   # per-tap: base+i stays sorted; windows overlap
+        out = out.at[base + i].add(sh[:, i], mode="drop",
+                                   indices_are_sorted=True)
+    return out.reshape(n_seg, w_seg), seg_bits
+
+
 def stuff_compact(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
                   first_rst: jnp.ndarray, n_rst: jnp.ndarray,
                   cap_u: int, cap_s: int) -> tuple[jnp.ndarray, jnp.ndarray,

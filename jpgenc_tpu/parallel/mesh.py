@@ -38,8 +38,8 @@ from jpgenc_tpu.config import EncodeConfig
 from jpgenc_tpu.container.jfif import build_headers
 from jpgenc_tpu.engine import (DevicePlan, get_plan, luts_from_tables,
                                qtables_for_quality, scan_caps,
-                               segments_to_scan)
-from jpgenc_tpu.ops.pack import stuff_compact
+                               scan_to_segments_blocked, segments_to_scan)
+from jpgenc_tpu.ops.pack import stuff_compact, w_blk_for_quality
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import symbol_histogram
@@ -59,12 +59,12 @@ _BATCHED: dict[tuple, dict] = {}
 
 
 def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
-                 caps: tuple[int, int]) -> dict:
+                 caps: tuple[int, int, int]) -> dict:
     key = (id(plan), batch, tuple(d.id for d in mesh.devices.flat),
            mesh.axis_names, caps)
     if key in _BATCHED:
         return _BATCHED[key]
-    cap_u, cap_s = caps
+    cap_u, cap_s, w_blk = caps
 
     lay = plan.layout
     n_seg, words = plan.n_seg, plan.words
@@ -79,8 +79,10 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
     def _enc1_bytes(img, qtabs, splan, scan_flat, luts, first_rst, n_rst):
-        w, b = _enc1(img, qtabs, splan, scan_flat, luts)
-        return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s)
+        blocks = pixels_to_blocks(img, lay, qtabs)
+        zz = blocks_to_scan(blocks, scan_flat)
+        w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk)
+        return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
 
     def _blocks1(img, qtabs):
         return pixels_to_blocks(img, lay, qtabs)
@@ -93,8 +95,9 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
     def _entropy1_bytes(blocks, splan, scan_flat, luts, first_rst, n_rst):
-        w, b = _entropy1(blocks, splan, scan_flat, luts)
-        return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s)
+        zz = blocks_to_scan(blocks, scan_flat)
+        w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk)
+        return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
 
     nb = sum(c.n_blocks for c in lay.comps)
     sh_blk = NamedSharding(mesh, P(ax, None, None))
@@ -170,7 +173,8 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     mode = "gray" if imgs.ndim == 3 else cfg.subsampling
     layout = make_layout(imgs.shape[1], imgs.shape[2], mode, cfg.restart_interval)
     plan = get_plan(layout)
-    caps = scan_caps(layout, cfg.quality)
+    cap_u, cap_s = scan_caps(layout, cfg.quality)
+    caps = (cap_u, cap_s, w_blk_for_quality(cfg.quality))
     fns = _batched_fns(plan, imgs.shape[0], mesh, caps)
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
     imgs_dev = jax.device_put(imgs, fns["sharding_img"])
@@ -188,18 +192,19 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
             per_img_tables[b:] = [per_img_tables[b - 1]] * pad
         luts_list = [luts_from_tables(dc, ac) for dc, ac in per_img_tables]
         luts_b = jax.tree.map(lambda *xs: jnp.stack(xs), *luts_list)
-        stuffed, out_len, raw_len = fns["entropy_bytes_perimg"](
+        stuffed, out_len, raw_len, ovf = fns["entropy_bytes_perimg"](
             blocks, plan.plan, plan.scan_flat, luts_b, first_rst, n_rst)
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
         blocks = None
-        stuffed, out_len, raw_len = fns["encode_bytes"](
+        stuffed, out_len, raw_len, ovf = fns["encode_bytes"](
             imgs_dev, qt_dev, plan.plan, plan.scan_flat, luts,
             first_rst, n_rst)
 
-    stuffed, out_len, raw_len = jax.device_get((stuffed, out_len, raw_len))
-    overflow = (raw_len > caps[0]) | (out_len > caps[1])
+    stuffed, out_len, raw_len, ovf = jax.device_get(
+        (stuffed, out_len, raw_len, ovf))
+    overflow = (raw_len > caps[0]) | (out_len > caps[1]) | ovf
     if overflow.any():  # rare: re-run overflowing images via the word path
         if cfg.optimize_huffman:
             seg_words, seg_bits = fns["entropy_perimg"](blocks, plan.plan,
@@ -276,7 +281,8 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
 
     stripe_layout = make_layout(stripes.shape[1], pw, mode, r)
     plan = get_plan(stripe_layout)
-    caps = scan_caps(stripe_layout, quality)
+    cap_u, cap_s = scan_caps(stripe_layout, quality)
+    caps = (cap_u, cap_s, w_blk_for_quality(quality))
     fns = _batched_fns(plan, n_stripes, mesh, caps)
     qt_host, qt_dev = qtables_for_quality(quality)
     stripes_dev = jax.device_put(stripes, fns["sharding_img"])
@@ -296,20 +302,21 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
         freq = np.asarray(fns["hist_sum"](blocks, plan.plan, plan.scan_flat))
         dc_tables, ac_tables = _build_tables_from_freq(freq, n_tabs)
         luts = luts_from_tables(dc_tables, ac_tables)
-        stuffed, out_len, raw_len = fns["entropy_bytes_shared"](
+        stuffed, out_len, raw_len, ovf = fns["entropy_bytes_shared"](
             blocks, plan.plan, plan.scan_flat, luts, first_rst, n_rst)
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
         blocks = None
-        stuffed, out_len, raw_len = fns["encode_bytes"](
+        stuffed, out_len, raw_len, ovf = fns["encode_bytes"](
             stripes_dev, qt_dev, plan.plan, plan.scan_flat, luts,
             first_rst, n_rst)
 
     # host assembly: slice each stripe's stuffed segment run and concatenate
     # into one scan (multi-host: process_allgather of the per-stripe blobs)
-    stuffed, out_len, raw_len = jax.device_get((stuffed, out_len, raw_len))
-    overflow = (raw_len > caps[0]) | (out_len > caps[1])
+    stuffed, out_len, raw_len, ovf = jax.device_get(
+        (stuffed, out_len, raw_len, ovf))
+    overflow = (raw_len > caps[0]) | (out_len > caps[1]) | ovf
     if overflow.any():
         if optimize:
             seg_words, seg_bits = fns["entropy_shared"](blocks, plan.plan,

@@ -87,3 +87,16 @@ def test_api_encode_unchanged_by_device_finalize(gray_image):
     from jpgenc_tpu.container.jfif import build_headers
     host = build_headers(layout, list(qt_host), dc_t, ac_t) + scan + b"\xff\xd9"
     assert ours == host
+
+
+def test_block_overflow_falls_back(rng):
+    """Pure noise at Q<=80 exceeds the 24-word block cap: output must come
+    from the fallback path and still decode identically to the reference."""
+    noise = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    data = encode(noise, quality=78, subsampling="444")
+    from jpgenc_tpu.decoder import decode_to_coefficients
+    layout, blocks, _ = decode_to_coefficients(data)
+    plan = get_plan(make_layout(64, 64, "444", 0))
+    _, qt = qtables_for_quality(78)
+    enc_blocks = np.asarray(plan.blocks(noise, qt))
+    np.testing.assert_array_equal(blocks, enc_blocks)
