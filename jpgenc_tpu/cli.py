@@ -62,14 +62,24 @@ def cmd_decode(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_bench(args: argparse.Namespace) -> int:
-    from jpgenc_tpu.api import encode
-    h, w = (int(x) for x in args.size.split("x"))
+def _bench_image(h: int, w: int) -> np.ndarray:
     rng = np.random.default_rng(7)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     base = 96 * np.sin(xx / 17) * np.cos(yy / 23) + 0.35 * xx + 96
-    img = np.clip(np.stack([base + 25 * c + rng.normal(0, 12, (h, w))
-                            for c in range(3)], -1), 0, 255).astype(np.uint8)
+    return np.clip(np.stack([base + 25 * c + rng.normal(0, 12, (h, w))
+                             for c in range(3)], -1), 0, 255).astype(np.uint8)
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    from jpgenc_tpu.api import encode
+    h, w = (int(x) for x in args.size.split("x"))
+    img = _bench_image(h, w)
+    if args.profile:
+        from jpgenc_tpu.utils.profiling import trace
+        encode(img, quality=args.quality)             # compile outside trace
+        with trace(args.profile):
+            encode(img, quality=args.quality)
+        print(f"trace written to {args.profile}", file=sys.stderr)
     data = encode(img, quality=args.quality)          # warm/compile
     t0 = time.perf_counter()
     for _ in range(args.frames):
@@ -80,6 +90,27 @@ def cmd_bench(args: argparse.Namespace) -> int:
         "mpix_per_s": round(h * w / dt / 1e6, 2),
         "bpp": round(8 * len(data) / (h * w), 3),
     }))
+    return 0
+
+
+def cmd_rd_curve(args: argparse.Namespace) -> int:
+    """Rate-distortion sweep: one JSON row per quality (PSNR-vs-bpp curve)."""
+    import io
+
+    from PIL import Image
+
+    from jpgenc_tpu.api import encode
+    from jpgenc_tpu.utils.metrics import psnr
+    img = (_load_image(args.input) if args.input
+           else _bench_image(*[int(x) for x in args.size.split("x")]))
+    px = img.shape[0] * img.shape[1]
+    for q in [int(x) for x in args.qualities.split(",")]:
+        data = encode(img, quality=q, subsampling=args.subsampling)
+        dec = np.asarray(Image.open(io.BytesIO(data)).convert(
+            "RGB" if img.ndim == 3 else "L"))
+        print(json.dumps({"quality": q,
+                          "bpp": round(8 * len(data) / px, 4),
+                          "psnr_db": round(float(psnr(dec, img)), 3)}))
     return 0
 
 
@@ -110,7 +141,18 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--size", default="1080x1920")
     b.add_argument("--quality", type=int, default=75)
     b.add_argument("--frames", type=int, default=10)
+    b.add_argument("--profile", default="",
+                   help="write a jax.profiler trace to this directory")
     b.set_defaults(fn=cmd_bench)
+
+    r = sub.add_parser("rd-curve", help="PSNR-vs-bpp sweep as JSON rows")
+    r.add_argument("--input", default="",
+                   help="image file (default: synthetic)")
+    r.add_argument("--size", default="512x512")
+    r.add_argument("--qualities", default="10,25,50,75,90,95")
+    r.add_argument("--subsampling", choices=["444", "422", "420"],
+                   default="420")
+    r.set_defaults(fn=cmd_rd_curve)
 
     args = p.parse_args(argv)
     return args.fn(args)

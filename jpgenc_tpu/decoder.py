@@ -162,8 +162,8 @@ def reconstruct_pixels(layout: FrameLayout, all_blocks: np.ndarray,
         return np.asarray(out)[:layout.height, :layout.width]
     c0 = layout.comps[0]
     y = planes[0]
-    cb = C.upsample(planes[1], c0.hs, c0.vs)
-    cr = C.upsample(planes[2], c0.hs, c0.vs)
+    cb = C.upsample_fancy(planes[1], c0.hs, c0.vs)
+    cr = C.upsample_fancy(planes[2], c0.hs, c0.vs)
     ycc = jnp.stack([y, cb, cr], axis=-1)
     rgb = C.ycbcr_to_rgb(ycc)
     out = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)

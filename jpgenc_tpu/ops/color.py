@@ -50,6 +50,35 @@ def upsample(plane: jnp.ndarray, hs: int, vs: int) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(plane, vs, axis=0), hs, axis=1)
 
 
+def _upsample2_axis(plane: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Centered 2x upsample along one axis with a 3:1 triangle filter —
+    the filter libjpeg calls "fancy" upsampling (JFIF centered chroma
+    siting): out[2i] = (3*c[i] + c[i-1])/4, out[2i+1] = (3*c[i] + c[i+1])/4,
+    edges replicated."""
+    x = jnp.moveaxis(plane, axis, 0)
+    prev = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    nxt = jnp.concatenate([x[1:], x[-1:]], axis=0)
+    even = _F(0.75) * x + _F(0.25) * prev
+    odd = _F(0.75) * x + _F(0.25) * nxt
+    out = jnp.stack([even, odd], axis=1).reshape((-1,) + x.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def upsample_fancy(plane: jnp.ndarray, hs: int, vs: int) -> jnp.ndarray:
+    """Triangle-filter upsample matching libjpeg's default reconstruction;
+    factors other than 2 fall back to replication."""
+    out = plane
+    if vs == 2:
+        out = _upsample2_axis(out, 0)
+    elif vs != 1:
+        out = jnp.repeat(out, vs, axis=0)
+    if hs == 2:
+        out = _upsample2_axis(out, 1)
+    elif hs != 1:
+        out = jnp.repeat(out, hs, axis=1)
+    return out
+
+
 def pad_replicate(img: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
     """Replicate-pad [H, W] or [H, W, C] to (ph, pw) (SURVEY.md component #6)."""
     h, w = img.shape[0], img.shape[1]

@@ -27,11 +27,14 @@ _U32 = jnp.uint32
 
 
 class EntropyLUTs(NamedTuple):
-    """Dense Huffman encode tables, one row per table id (0=luma, 1=chroma)."""
-    dc_code: jnp.ndarray  # [2, 256] uint32
-    dc_len: jnp.ndarray   # [2, 256] int32
-    ac_code: jnp.ndarray  # [2, 256] uint32
-    ac_len: jnp.ndarray   # [2, 256] int32
+    """Dense Huffman encode tables, one row per table id (0=luma, 1=chroma).
+
+    Entries are packed (code << 5) | code_len (code <= 16 bits, len <= 5
+    bits) so every symbol costs one gather instead of two — data-dependent
+    index count is the dominant cost on TPU (docs/PERFORMANCE.md).
+    """
+    dc: jnp.ndarray  # [2, 256] int32 packed
+    ac: jnp.ndarray  # [2, 256] int32 packed
 
 
 class SymbolPlan(NamedTuple):
@@ -107,19 +110,22 @@ def make_pieces(zz_scan: jnp.ndarray, plan: SymbolPlan,
     v = plan.valid
 
     # --- lane 3 at position 0: DC code + amplitude
-    dc_code = _lut(luts.dc_code, plan.dc_tab, a.dc_s)
-    dc_clen = _lut(luts.dc_len, plan.dc_tab, a.dc_s)
+    dc_e = _lut(luts.dc, plan.dc_tab, a.dc_s)
+    dc_code = (dc_e >> 5).astype(_U32)
+    dc_clen = dc_e & 31
     dc_val = (dc_code << a.dc_s.astype(_U32)) | a.dc_amp
     dc_len = jnp.where(v, dc_clen + a.dc_s, 0)
 
     # --- lane 3 at positions 1..63: AC value symbol (or EOB at 63)
-    ac_code = _lut(luts.ac_code, plan.ac_tab, a.ac_sym)
-    ac_clen = _lut(luts.ac_len, plan.ac_tab, a.ac_sym)
+    ac_e = _lut(luts.ac, plan.ac_tab, a.ac_sym)
+    ac_code = (ac_e >> 5).astype(_U32)
+    ac_clen = ac_e & 31
     main_val = (ac_code << a.ac_s.astype(_U32)) | a.ac_amp
     main_len = jnp.where(a.nz & v[:, None], ac_clen + a.ac_s, 0)
 
-    eob_code = _lut(luts.ac_code, plan.ac_tab, jnp.zeros((S,), _I32))
-    eob_clen = _lut(luts.ac_len, plan.ac_tab, jnp.zeros((S,), _I32))
+    eob_e = _lut(luts.ac, plan.ac_tab, jnp.zeros((S,), _I32))
+    eob_code = (eob_e >> 5).astype(_U32)
+    eob_clen = eob_e & 31
     main_val = main_val.at[:, 63].set(
         jnp.where(a.eob, eob_code, main_val[:, 63]))
     main_len = main_len.at[:, 63].set(
@@ -128,8 +134,9 @@ def make_pieces(zz_scan: jnp.ndarray, plan: SymbolPlan,
     main_len = main_len.at[:, 0].set(dc_len)
 
     # --- lanes 0..2: ZRL codes
-    zrl_code = _lut(luts.ac_code, plan.ac_tab, jnp.full((S,), 0xF0, _I32))
-    zrl_clen = _lut(luts.ac_len, plan.ac_tab, jnp.full((S,), 0xF0, _I32))
+    zrl_e = _lut(luts.ac, plan.ac_tab, jnp.full((S,), 0xF0, _I32))
+    zrl_code = (zrl_e >> 5).astype(_U32)
+    zrl_clen = zrl_e & 31
     lanes_v = []
     lanes_l = []
     for i in range(3):

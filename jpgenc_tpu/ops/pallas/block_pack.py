@@ -34,25 +34,28 @@ _U32 = jnp.uint32
 TILE = 128          # slots (blocks) per grid step
 
 
-class PackedTables:
-    """Device-resident LUTs in kernel-friendly layouts.
+def packed_tables(luts: EntropyLUTs) -> tuple:
+    """LUTs in kernel-friendly layouts (traceable: works on traced luts).
 
     Entries are (code << 5) | code_len (code <= 16 bits, len <= 5 bits).
     ac_rows: [4, 128]  rows = tab0[0:128], tab0[128:256], tab1[...], tab1[...]
     dc_rows: [2, 128]  rows = tab0, tab1 (cols 0..11 used)
     misc:    [1, 4]    [zrl_tab0, zrl_tab1, eob_tab0, eob_tab1]
     """
+    ac = jnp.asarray(luts.ac, jnp.int32)
+    dc = jnp.asarray(luts.dc, jnp.int32)
+    ac_rows = ac.reshape(4, 128)
+    dc_rows = jnp.pad(dc[:, :16], ((0, 0), (0, 112)))
+    misc = jnp.stack([ac[0, 0xF0], ac[1, 0xF0],
+                      ac[0, 0], ac[1, 0]]).reshape(1, 4)
+    return ac_rows, dc_rows, misc
+
+
+class PackedTables:
+    """Back-compat wrapper over packed_tables()."""
 
     def __init__(self, luts: EntropyLUTs):
-        ac = (np.asarray(luts.ac_code, np.int64) << 5) | np.asarray(luts.ac_len)
-        dc = (np.asarray(luts.dc_code, np.int64) << 5) | np.asarray(luts.dc_len)
-        self.ac_rows = jnp.asarray(ac.reshape(4, 128).astype(np.int32))
-        dcr = np.zeros((2, 128), np.int64)
-        dcr[:, :16] = dc[:, :16]
-        self.dc_rows = jnp.asarray(dcr.astype(np.int32))
-        self.misc = jnp.asarray(
-            np.array([[ac[0, 0xF0], ac[1, 0xF0], ac[0, 0], ac[1, 0]]],
-                     np.int64).astype(np.int32))
+        self.ac_rows, self.dc_rows, self.misc = packed_tables(luts)
 
 
 def _lane_shift_right(x, n):
@@ -109,11 +112,13 @@ def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
     actab = actab_ref[:]                             # [T, 1]
     dctab = dctab_ref[:]
     valid = valid_ref[:] != 0
-    idx_lo = sym & 127
+    # Mosaic's gather lowering requires idx.shape == operand.shape: pad the
+    # 64-lane symbol indices to the table row width and slice the result.
+    idx_lo = jnp.pad(sym & 127, ((0, 0), (0, 64)))   # [T, 128]
     cand = []
     for row in range(4):
         x = jnp.broadcast_to(ac_rows_ref[row:row + 1, :], (t, 128))
-        cand.append(jnp.take_along_axis(x, idx_lo, axis=1))
+        cand.append(jnp.take_along_axis(x, idx_lo, axis=1)[:, :64])
     hi = sym >= 128
     e_t0 = jnp.where(hi, cand[1], cand[0])
     e_t1 = jnp.where(hi, cand[3], cand[2])
@@ -125,10 +130,11 @@ def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
     amp_dc = jnp.where(dcdiff >= 0, dcdiff,
                        dcdiff + (_I32(1) << s_dc) - 1) & \
         ((_I32(1) << s_dc) - 1)
+    s_dc128 = jnp.broadcast_to(s_dc, (t, 128))
     d0 = jnp.take_along_axis(
-        jnp.broadcast_to(dc_rows_ref[0:1, :], (t, 128)), s_dc, axis=1)
+        jnp.broadcast_to(dc_rows_ref[0:1, :], (t, 128)), s_dc128, axis=1)[:, :1]
     d1 = jnp.take_along_axis(
-        jnp.broadcast_to(dc_rows_ref[1:2, :], (t, 128)), s_dc, axis=1)
+        jnp.broadcast_to(dc_rows_ref[1:2, :], (t, 128)), s_dc128, axis=1)[:, :1]
     e_dc = jnp.where(dctab == 0, d0, d1)             # [T, 1]
 
     # --- ZRL / EOB entries per slot row
@@ -195,13 +201,16 @@ def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
         w4.append(_shift_into_word(lo, -r) | _shift_into_word(hi2, 32 - r))
 
     # --- merge: static per-word one-hot accumulation (no scatter)
+    # (sum in i32: Mosaic lacks unsigned reductions; contributions have
+    # disjoint bits, so two's-complement addition is bit-identical to OR)
     cols = []
     for w in range(w_blk):
-        acc = jnp.zeros((t, 64), _U32)
+        acc = jnp.zeros((t, 64), _I32)
         for j in range(4):
-            acc = acc | jnp.where(d == w - j, w4[j], _U32(0))
-        cols.append(jnp.sum(acc, axis=1).astype(_U32))
-    buf_ref[:] = jnp.stack(cols, axis=1)
+            acc = acc | jnp.where(d == w - j,
+                                  jax.lax.bitcast_convert_type(w4[j], _I32), 0)
+        cols.append(jnp.sum(acc, axis=1))
+    buf_ref[:] = jax.lax.bitcast_convert_type(jnp.stack(cols, axis=1), _U32)
 
     bits_ref[:] = total
 

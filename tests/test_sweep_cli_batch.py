@@ -137,3 +137,26 @@ def test_batch_driver_fault_injection(tmp_path):
         assert os.path.getmtime(p) == t
     recs = [json.loads(l) for l in open(manifest)]
     assert sorted(r["index"] for r in recs) == list(range(len(imgs)))
+
+
+@pytest.mark.parametrize("h,w,sub", [
+    (101, 53, "420"), (97, 129, "422"), (8, 8, "444"), (17, 1025, "420"),
+])
+def test_odd_dimensions(h, w, sub):
+    """Non-MCU-multiple sizes: padding, headers, and all decoders agree."""
+    rng = np.random.default_rng(h * 1000 + w)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    data = encode(img, quality=75, subsampling=sub)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert pil.shape == img.shape
+    ours = decode(data)
+    assert ours.shape == img.shape
+    assert psnr(ours, pil) > 28.0
+
+
+def test_tiny_gray():
+    img = np.full((3, 5), 77, np.uint8)
+    data = encode(img, quality=75)
+    out = np.asarray(Image.open(io.BytesIO(data)))
+    assert out.shape == (3, 5)
+    assert np.abs(out.astype(int) - 77).max() <= 3
