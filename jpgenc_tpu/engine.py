@@ -301,6 +301,9 @@ def scan_caps(layout: FrameLayout, quality: int) -> tuple[int, int]:
     clamped to the true worst case; overflow falls back to the host path.
     """
     px = sum(c.plane_h * c.plane_w for c in layout.comps)
+    # bits per coefficient-pixel; stuffing/download cost scales with the cap.
+    # Conservative (covers noisy content without falling back); tightening
+    # per-content is a measured trade tracked in docs/PERFORMANCE.md.
     bpp = 2.0 if quality <= 80 else (4.0 if quality <= 92 else 7.0)
     worst = sum(c.n_blocks for c in layout.comps) * MAX_BLOCK_BITS // 8 + \
         2 * layout.n_segments + 8
