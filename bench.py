@@ -33,12 +33,8 @@ H, W, B = 1080, 1920, 4
 
 
 def _test_frames(h: int, w: int, b: int) -> np.ndarray:
-    rng = np.random.default_rng(7)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    base = 96.0 * np.sin(xx / 17.0) * np.cos(yy / 23.0) + 0.35 * xx + 96.0
-    noise = rng.normal(0, 12, (b, h, w, 1)).astype(np.float32)
-    img = base[None, :, :, None] + noise + np.arange(3).reshape(1, 1, 1, 3) * 25.0
-    return np.clip(img, 0, 255).astype(np.uint8)
+    from jpgenc_tpu.utils.fixtures import synth_batch
+    return synth_batch(h, w, b)
 
 
 def main() -> None:

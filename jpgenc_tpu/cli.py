@@ -63,11 +63,8 @@ def cmd_decode(args: argparse.Namespace) -> int:
 
 
 def _bench_image(h: int, w: int) -> np.ndarray:
-    rng = np.random.default_rng(7)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    base = 96 * np.sin(xx / 17) * np.cos(yy / 23) + 0.35 * xx + 96
-    return np.clip(np.stack([base + 25 * c + rng.normal(0, 12, (h, w))
-                             for c in range(3)], -1), 0, 255).astype(np.uint8)
+    from jpgenc_tpu.utils.fixtures import synth_frame
+    return synth_frame(h, w)
 
 
 def cmd_bench(args: argparse.Namespace) -> int:

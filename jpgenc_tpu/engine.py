@@ -109,10 +109,13 @@ def scan_to_segments(zz_scan: jnp.ndarray, plan: SymbolPlan, luts: EntropyLUTs,
     return pack_segments(pv, pl, n_seg, words)
 
 
-def use_pallas_default() -> bool:
+def use_pallas_default(devices=None) -> bool:
     """The fused Pallas kernel is the production path on TPU; the jnp path
-    (bit-identical, tested) serves CPU and acts as the safety fallback."""
-    return jax.default_backend() == "tpu"
+    (bit-identical, tested) serves CPU and acts as the safety fallback.
+    Pass the devices the computation actually targets (e.g. a mesh's) when
+    they may differ from the default backend's."""
+    devs = devices if devices is not None else jax.devices()
+    return all(d.platform == "tpu" for d in devs)
 
 
 def scan_to_segments_blocked(zz_scan: jnp.ndarray, plan: SymbolPlan,
@@ -278,6 +281,11 @@ def segments_to_scan(seg_words: np.ndarray, seg_bits: np.ndarray,
     segments. `first_rst` offsets the RSTn numbering (stripe concatenation
     across chips passes the global segment index here — SURVEY.md hard part 5).
     """
+    from jpgenc_tpu import native
+    if native.available():
+        out = native.finalize_scan(seg_words, seg_bits, first_rst)
+        if out is not None:
+            return out
     n_seg = seg_words.shape[0]
     parts = []
     be = seg_words.astype(">u4")

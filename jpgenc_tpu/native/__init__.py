@@ -32,7 +32,7 @@ def _build() -> bool:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
         os.close(fd)
         r = subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
             capture_output=True, timeout=120)
         if r.returncode != 0:
             os.unlink(tmp)
@@ -43,10 +43,25 @@ def _build() -> bool:
         return False
 
 
+_LOAD_FAILED = False
+
+
 def _load():
-    global LIB
+    global LIB, _LOAD_FAILED
     if LIB is not None:
         return LIB
+    if _LOAD_FAILED:
+        return None
+    try:
+        return _load_inner()
+    except OSError:
+        # e.g. a stale/foreign-architecture .so: fall back to pure Python
+        _LOAD_FAILED = True
+        return None
+
+
+def _load_inner():
+    global LIB
     if not _build():
         return None
     lib = ctypes.CDLL(_SO)

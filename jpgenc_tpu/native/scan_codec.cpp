@@ -58,11 +58,19 @@ struct BitReader {
     uint64_t acc = 0;     // MSB-aligned accumulator
     int nbits = 0;
     bool bad = false;
+    int padded = 0;       // zero-fill bytes consumed past the segment end
 
-    // Fill accumulator; stops before markers (0xFF non-00).
+    // Fill accumulator; stops before markers (0xFF non-00). A truncated or
+    // corrupt stream would otherwise decode unlimited valid-looking blocks
+    // from the zero padding (zero bits are valid Huffman codes), so more
+    // than a lookahead's worth of padding marks the stream bad.
     inline void fill() {
         while (nbits <= 56) {
-            if (pos >= len) { acc |= 0; nbits += 8; continue; }  // 0-pad past end
+            if (pos >= len) {
+                nbits += 8;
+                if (++padded > 16) bad = true;
+                continue;
+            }
             uint8_t b = data[pos];
             if (b == 0xFF) {
                 if (pos + 1 < len && data[pos + 1] == 0x00) {
@@ -145,13 +153,27 @@ int decode_scan(const uint8_t* data, int64_t data_len,
         ac[t].build(ac_bits + 16 * t, ac_vals + 256 * t);
     }
 
-    // Pre-split segments at RSTn markers (markers are never inside entropy
-    // data because stuffing escapes FF).
+    // Pre-validate the RSTn structure: a truncated stream must fail loudly,
+    // exactly as the Python reference decoder does.
+    {
+        int nseg = 1;
+        for (int64_t i = 0; i + 1 < data_len; ++i) {
+            if (data[i] == 0xFF) {
+                uint8_t m = data[i + 1];
+                if (m == 0x00) { ++i; continue; }
+                if (m >= 0xD0 && m <= 0xD7) { ++nseg; ++i; continue; }
+                break;  // foreign marker terminates the scan
+            }
+        }
+        if (nseg != n_segments) return -6;
+    }
+
     int64_t seg_start = 0;
     int seg = 0;
     int32_t pred[4] = {0, 0, 0, 0};
 
     for (int s = 0; s < n_segments; ++s) {
+        if (seg_start > data_len) return -7;
         // find end of this segment (next RSTn or end of data)
         int64_t seg_end = data_len;
         for (int64_t i = seg_start; i + 1 < data_len; ++i) {

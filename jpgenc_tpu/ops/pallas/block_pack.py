@@ -51,13 +51,6 @@ def packed_tables(luts: EntropyLUTs) -> tuple:
     return ac_rows, dc_rows, misc
 
 
-class PackedTables:
-    """Back-compat wrapper over packed_tables()."""
-
-    def __init__(self, luts: EntropyLUTs):
-        self.ac_rows, self.dc_rows, self.misc = packed_tables(luts)
-
-
 def _lane_shift_right(x, n):
     """Shift values toward higher lane index by n (zero fill), axis=1."""
     if n == 0:
@@ -79,13 +72,7 @@ def _shl(v, s):
     return jnp.where(s < 32, v << s32, _U32(0))
 
 
-def _shift_into_word(v, a):
-    """v logically shifted by a bits (+ = left), truncated to u32."""
-    sl = jnp.clip(a, 0, 31).astype(_U32)
-    sr = jnp.clip(-a, 0, 31).astype(_U32)
-    left = jnp.where((a >= 0) & (a < 32), v << sl, _U32(0))
-    right = jnp.where((a < 0) & (a > -32), v >> sr, _U32(0))
-    return left | right
+from jpgenc_tpu.ops.pack import _shift_into_word  # noqa: E402  (shared bit helper)
 
 
 def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
@@ -225,7 +212,7 @@ def fused_block_pack(zz_scan: jnp.ndarray, dcdiff: jnp.ndarray,
 
     zz_scan: [S, 64] i32; dcdiff/actab/dctab/valid: [S] i32. S is padded to a
     TILE multiple internally. tables: (ac_rows, dc_rows, misc) from
-    PackedTables. Returns (buf [S, w_blk] u32, bits [S] i32) — bit-identical
+    packed_tables(). Returns (buf [S, w_blk] u32, bits [S] i32) — bit-identical
     to ops.pack.block_pack over ops.entropy.make_pieces.
     """
     ac_rows, dc_rows, misc = tables

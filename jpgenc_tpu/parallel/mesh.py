@@ -65,6 +65,8 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
     if key in _BATCHED:
         return _BATCHED[key]
     cap_u, cap_s, w_blk = caps
+    from jpgenc_tpu.engine import use_pallas_default
+    use_pallas = use_pallas_default(list(mesh.devices.flat))
 
     lay = plan.layout
     n_seg, words = plan.n_seg, plan.words
@@ -81,7 +83,8 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
     def _enc1_bytes(img, qtabs, splan, scan_flat, luts, first_rst, n_rst):
         blocks = pixels_to_blocks(img, lay, qtabs)
         zz = blocks_to_scan(blocks, scan_flat)
-        w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk)
+        w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
+                                             use_pallas=use_pallas)
         return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
 
     def _blocks1(img, qtabs):
@@ -96,7 +99,8 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
 
     def _entropy1_bytes(blocks, splan, scan_flat, luts, first_rst, n_rst):
         zz = blocks_to_scan(blocks, scan_flat)
-        w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk)
+        w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
+                                             use_pallas=use_pallas)
         return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
 
     nb = sum(c.n_blocks for c in lay.comps)
@@ -205,26 +209,21 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     stuffed, out_len, raw_len, ovf = jax.device_get(
         (stuffed, out_len, raw_len, ovf))
     overflow = (raw_len > caps[0]) | (out_len > caps[1]) | ovf
-    if overflow.any():  # rare: re-run overflowing images via the word path
-        if cfg.optimize_huffman:
-            seg_words, seg_bits = fns["entropy_perimg"](blocks, plan.plan,
-                                                        plan.scan_flat, luts_b)
-        else:
-            seg_words, seg_bits = fns["encode"](imgs_dev, qt_dev, plan.plan,
-                                                plan.scan_flat, luts)
-        seg_words = np.asarray(seg_words)
-        seg_bits = np.asarray(seg_bits)
 
     out = []
     for i in range(b):
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
-        hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
         if overflow[i]:
-            scan = segments_to_scan(seg_words[i], seg_bits[i])
-        else:
-            scan = stuffed[i, :int(out_len[i])].tobytes()
-        out.append(hdr + scan + b"\xff\xd9")
+            # rare: redo just this image through api.encode's fallback chain
+            from jpgenc_tpu.api import encode as _encode_one
+            out.append(_encode_one(np.asarray(imgs[i]), quality=cfg.quality,
+                                   subsampling=cfg.subsampling,
+                                   restart_interval=cfg.restart_interval,
+                                   optimize=cfg.optimize_huffman))
+            continue
+        hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
+        out.append(hdr + stuffed[i, :int(out_len[i])].tobytes() + b"\xff\xd9")
     return out
 
 

@@ -72,5 +72,31 @@ def test_native_finalize_matches_host(gray_image):
     seg_w, seg_b = plan.encode_segments(gray_image, qt,
                                         luts_from_tables(dc_t, ac_t))
     seg_w, seg_b = np.asarray(seg_w), np.asarray(seg_b)
-    assert native.finalize_scan(seg_w, seg_b, 2) == \
-        segments_to_scan(seg_w, seg_b, first_rst=2)
+    orig = native.available
+    try:
+        native.available = lambda: False    # pure-Python reference side
+        ref = segments_to_scan(seg_w, seg_b, first_rst=2)
+    finally:
+        native.available = orig
+    assert native.finalize_scan(seg_w, seg_b, 2) == ref
+
+
+def test_native_decode_rejects_truncated_stream(gray_image):
+    """Truncated scans must raise, not fabricate coefficients (both paths)."""
+    data = encode(gray_image, quality=75, restart_interval=2)
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    parsed.scan_data = parsed.scan_data[:len(parsed.scan_data) // 3]
+    with pytest.raises(ValueError):
+        decode_scan_to_blocks(parsed, layout)
+    with pytest.raises(ValueError):
+        _python_decode(parsed, layout)
+
+
+def test_native_decode_rejects_truncated_single_segment(gray_image):
+    data = encode(gray_image, quality=75)
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    parsed.scan_data = parsed.scan_data[:len(parsed.scan_data) // 4]
+    with pytest.raises(ValueError):
+        decode_scan_to_blocks(parsed, layout)

@@ -8,7 +8,7 @@ from jpgenc_tpu.engine import (get_plan, luts_from_tables, qtables_for_quality)
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import make_pieces
 from jpgenc_tpu.ops.pack import block_pack, w_blk_for_quality
-from jpgenc_tpu.ops.pallas.block_pack import (PackedTables, fused_block_pack,
+from jpgenc_tpu.ops.pallas.block_pack import (fused_block_pack, packed_tables,
                                               slot_metadata)
 from jpgenc_tpu.ref.encoder import standard_tables
 
@@ -20,17 +20,15 @@ def _case(img, mode, rst, quality):
     dc_t, ac_t = standard_tables()
     luts = luts_from_tables(dc_t, ac_t)
     blocks = plan.blocks(img, qt)
-    zz = blocks[jnp.asarray(plan.scan_flat)] if False else blocks[plan.scan_flat]
+    zz = blocks[plan.scan_flat]
     splan = plan.plan
     w_blk = w_blk_for_quality(quality)
 
     pv, pl_ = make_pieces(zz, splan, luts)
     ref_buf, ref_bits = block_pack(pv, pl_, w_blk)
 
-    pt = PackedTables(luts)
     meta = slot_metadata(splan, zz)
-    buf, bits = fused_block_pack(zz, *meta,
-                                 tables=(pt.ac_rows, pt.dc_rows, pt.misc),
+    buf, bits = fused_block_pack(zz, *meta, tables=packed_tables(luts),
                                  w_blk=w_blk, interpret=True)
     return np.asarray(ref_buf), np.asarray(ref_bits), \
         np.asarray(buf), np.asarray(bits)
