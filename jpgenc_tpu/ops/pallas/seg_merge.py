@@ -61,8 +61,12 @@ def _kernel(bases_ref,                     # scalar prefetch: [n_tiles+1] i32
 
     jax.lax.fori_loop(0, TB, body, 0)
 
-    # hand everything at/after the next tile's aligned base onward
-    carry[:] = acc[pl.ds(base_next_al - base_al, CARRY), :]
+    # hand everything at/after the next tile's aligned base onward. At a
+    # segment's last tile the next base resets to a smaller offset (next
+    # segment starts at word 0), which would make the slice start negative —
+    # clamp it; the next tile ignores the carry anyway (tile == 0).
+    delta = jnp.maximum(base_next_al - base_al, 0)
+    carry[:] = acc[pl.ds(delta, CARRY), :]
 
     acc2[:] = acc[:].reshape(span_al // 128, 128)
     copy = pltpu.make_async_copy(

@@ -83,3 +83,12 @@ def test_striped_optimized_huffman(gray_image):
     base = encode_striped(gray_image, n_stripes=4, restart_interval=16)
     assert len(data) < len(base)
     assert np.array_equal(decode(data), decode(base))
+
+
+def test_multihost_helpers_single_process():
+    """Degenerate (1-process) behavior of the multi-host control plane."""
+    from jpgenc_tpu.parallel import multihost as mh
+    mh.initialize()                        # no-op
+    assert mh.process_count() == 1
+    assert mh.gather_bytes(b"abc") == [b"abc"]
+    assert list(mh.owned_indices(10)) == list(range(10))
