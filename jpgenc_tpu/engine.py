@@ -139,13 +139,15 @@ def scan_to_segments_blocked(zz_scan: jnp.ndarray, plan: SymbolPlan,
         from jpgenc_tpu.ops.pallas.block_pack import (fused_block_pack,
                                                       packed_tables,
                                                       slot_metadata)
+        from jpgenc_tpu.ops.pallas.seg_merge import fused_seg_merge
         meta = slot_metadata(plan, zz_scan)
         buf, bits = fused_block_pack(zz_scan, *meta,
                                      tables=packed_tables(luts), w_blk=w_blk)
+        seg_words, seg_bits = fused_seg_merge(buf, bits, n_seg, w_blk)
     else:
         pv, pl = make_pieces(zz_scan, plan, luts)
         buf, bits = block_pack(pv, pl, w_blk)
-    seg_words, seg_bits = segments_from_blocks(buf, bits, n_seg, w_seg)
+        seg_words, seg_bits = segments_from_blocks(buf, bits, n_seg, w_seg)
     return seg_words, seg_bits, jnp.max(bits) > w_blk * 32
 
 

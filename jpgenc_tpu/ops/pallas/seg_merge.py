@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 _I32 = jnp.int32
 _U32 = jnp.uint32
 
-TB = 256            # blocks per grid step
+TB = 64             # blocks per grid step (word-per-sublane buffers are
+                    # lane-padded by Mosaic, so VMEM budget caps the tile)
 CARRY = 256         # words handed to the next tile (>= 128 align slack + w_blk+1)
 
 
