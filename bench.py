@@ -54,7 +54,7 @@ def main() -> None:
     frames = _test_frames(H, W, B)
     layout = make_layout(H, W, "420", 0)
     plan = get_plan(layout)
-    caps = scan_caps(layout, 75) + (w_blk_for_quality(75),)
+    caps = scan_caps(layout, 75, "tight") + (w_blk_for_quality(75),)
     qt_host, qt_dev = qtables_for_quality(75)
     dc_t, ac_t = standard_tables()
     luts = luts_from_tables(dc_t, ac_t)

@@ -30,7 +30,10 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
     plan = get_plan(layout)
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
 
-    cap_u, cap_s = scan_caps(layout, cfg.quality)
+    tiers = [scan_caps(layout, cfg.quality, "tight"),
+             scan_caps(layout, cfg.quality, "safe")]
+    if tiers[0] == tiers[1]:
+        tiers = tiers[:1]
     w_blk = w_blk_for_quality(cfg.quality)
     if cfg.optimize_huffman:
         blocks = plan.blocks(img, qt_dev)
@@ -41,15 +44,22 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
         ac_tables = [build_codes(*optimize_tables(freq[1, t].astype(np.int64)))
                      for t in range(n_tabs)]
         luts = luts_from_tables(dc_tables, ac_tables)
-        scan, ok = plan.entropy_scan_bytes(blocks, luts, cap_u, cap_s, w_blk)
+        for cap_u, cap_s in tiers:
+            scan, ok = plan.entropy_scan_bytes(blocks, luts, cap_u, cap_s,
+                                               w_blk)
+            if ok:
+                break
         if not ok:  # capacity overflow: host finalize on the full word buffer
             seg_words, seg_bits = plan.entropy_segments(blocks, luts)
             scan = segments_to_scan(np.asarray(seg_words), np.asarray(seg_bits))
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        scan, ok = plan.encode_scan_bytes(img, qt_dev, luts, cap_u, cap_s,
-                                          w_blk)
+        for cap_u, cap_s in tiers:
+            scan, ok = plan.encode_scan_bytes(img, qt_dev, luts, cap_u, cap_s,
+                                              w_blk)
+            if ok:
+                break
         if not ok:
             seg_words, seg_bits = plan.encode_segments(img, qt_dev, luts)
             scan = segments_to_scan(np.asarray(seg_words), np.asarray(seg_bits))

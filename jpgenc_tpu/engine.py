@@ -304,17 +304,22 @@ def segments_to_scan(seg_words: np.ndarray, seg_bits: np.ndarray,
     return b"".join(parts)
 
 
-def scan_caps(layout: FrameLayout, quality: int) -> tuple[int, int]:
+def scan_caps(layout: FrameLayout, quality: int,
+              tier: str = "safe") -> tuple[int, int]:
     """(cap_u, cap_s) static buffer capacities for the device finalize.
 
     Sized from a quality-bucketed bits-per-coefficient-pixel heuristic,
-    clamped to the true worst case; overflow falls back to the host path.
+    clamped to the true worst case. The device stuffing pass and the
+    device->host download both scale with the cap, so encode tries the
+    "tight" tier first (covers typical photographic content) and retries
+    with "safe" (covers noise-like content) on overflow; the host word
+    path remains the final fallback.
     """
     px = sum(c.plane_h * c.plane_w for c in layout.comps)
-    # bits per coefficient-pixel; stuffing/download cost scales with the cap.
-    # Conservative (covers noisy content without falling back); tightening
-    # per-content is a measured trade tracked in docs/PERFORMANCE.md.
-    bpp = 2.0 if quality <= 80 else (4.0 if quality <= 92 else 7.0)
+    if tier == "tight":
+        bpp = 0.5 if quality <= 80 else (1.0 if quality <= 92 else 2.0)
+    else:
+        bpp = 2.0 if quality <= 80 else (4.0 if quality <= 92 else 7.0)
     worst = sum(c.n_blocks for c in layout.comps) * MAX_BLOCK_BITS // 8 + \
         2 * layout.n_segments + 8
     cap_u = min(int(px * bpp / 8) + 1024, worst)

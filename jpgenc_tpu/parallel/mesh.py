@@ -177,7 +177,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     mode = "gray" if imgs.ndim == 3 else cfg.subsampling
     layout = make_layout(imgs.shape[1], imgs.shape[2], mode, cfg.restart_interval)
     plan = get_plan(layout)
-    cap_u, cap_s = scan_caps(layout, cfg.quality)
+    cap_u, cap_s = scan_caps(layout, cfg.quality, "tight")
     caps = (cap_u, cap_s, w_blk_for_quality(cfg.quality))
     fns = _batched_fns(plan, imgs.shape[0], mesh, caps)
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
@@ -280,7 +280,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
 
     stripe_layout = make_layout(stripes.shape[1], pw, mode, r)
     plan = get_plan(stripe_layout)
-    cap_u, cap_s = scan_caps(stripe_layout, quality)
+    cap_u, cap_s = scan_caps(stripe_layout, quality, "tight")
     caps = (cap_u, cap_s, w_blk_for_quality(quality))
     fns = _batched_fns(plan, n_stripes, mesh, caps)
     qt_host, qt_dev = qtables_for_quality(quality)
