@@ -103,6 +103,37 @@ def blocks_to_scan(all_blocks: jnp.ndarray, scan_flat: jnp.ndarray) -> jnp.ndarr
     return all_blocks[scan_flat]
 
 
+def pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
+                   qtabs: jnp.ndarray) -> jnp.ndarray:
+    """u8 image -> [n_seg * blocks_per_segment, 64] zigzag blocks directly in
+    the interleaved scan order (T.81 A.2.3) via static reshapes — replaces
+    the pixels_to_blocks + scan-gather pair (a 49k-row data-dependent gather)
+    with pure layout ops. Padding slots beyond n_scan are zero blocks
+    (SymbolPlan.valid masks them)."""
+    s_pad = layout.n_segments * layout.blocks_per_segment
+    c0 = layout.comps[0]
+    if layout.is_gray:
+        plane = C.pad_replicate(img, c0.plane_h, c0.plane_w).astype(jnp.float32)
+        zz = X.plane_to_zigzag(plane, qtabs[0])       # raster == scan order
+    else:
+        padded = C.pad_replicate(img, c0.plane_h, c0.plane_w)
+        ycc = C.rgb_to_ycbcr(padded)
+        y = X.plane_to_zigzag(ycc[..., 0], qtabs[0])
+        cb = X.plane_to_zigzag(C.subsample(ycc[..., 1], c0.hs, c0.vs), qtabs[1])
+        cr = X.plane_to_zigzag(C.subsample(ycc[..., 2], c0.hs, c0.vs), qtabs[1])
+        my, mx, hs, vs = layout.mcus_y, layout.mcus_x, c0.hs, c0.vs
+        # raster block (my*vs + v, mx*hs + h) -> MCU-grouped [my, mx, vs*hs]
+        yg = (y.reshape(my, vs, mx, hs, 64)
+              .transpose(0, 2, 1, 3, 4)
+              .reshape(my, mx, vs * hs, 64))
+        cbg = cb.reshape(my, mx, 1, 64)
+        crg = cr.reshape(my, mx, 1, 64)
+        zz = jnp.concatenate([yg, cbg, crg], axis=2).reshape(-1, 64)
+    if s_pad > zz.shape[0]:
+        zz = jnp.pad(zz, ((0, s_pad - zz.shape[0]), (0, 0)))
+    return zz
+
+
 def scan_to_segments(zz_scan: jnp.ndarray, plan: SymbolPlan, luts: EntropyLUTs,
                      n_seg: int, words: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     pv, pl = make_pieces(zz_scan, plan, luts)
@@ -211,8 +242,7 @@ class DevicePlan:
 
             @jax.jit
             def _encode_bytes(img, qtabs, plan, scan_flat, luts, first_rst, n_rst):
-                blocks = pixels_to_blocks(img, lay, qtabs)
-                zz = blocks_to_scan(blocks, scan_flat)
+                zz = pixels_to_scan(img, lay, qtabs)
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
                 return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
 

@@ -43,7 +43,8 @@ from jpgenc_tpu.ops.pack import stuff_compact, w_blk_for_quality
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import symbol_histogram
-from jpgenc_tpu.engine import blocks_to_scan, pixels_to_blocks, scan_to_segments
+from jpgenc_tpu.engine import (blocks_to_scan, pixels_to_blocks,
+                               pixels_to_scan, scan_to_segments)
 from jpgenc_tpu.ref.encoder import standard_tables
 
 
@@ -81,8 +82,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
     def _enc1_bytes(img, qtabs, splan, scan_flat, luts, first_rst, n_rst):
-        blocks = pixels_to_blocks(img, lay, qtabs)
-        zz = blocks_to_scan(blocks, scan_flat)
+        zz = pixels_to_scan(img, lay, qtabs)
         w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
                                              use_pallas=use_pallas)
         return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
