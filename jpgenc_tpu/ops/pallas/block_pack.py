@@ -31,7 +31,7 @@ from jpgenc_tpu.ops.entropy import EntropyLUTs, SymbolPlan
 
 _I32 = jnp.int32
 _U32 = jnp.uint32
-TILE = 128          # slots (blocks) per grid step
+TILE = 256          # slots (blocks) per grid step
 
 
 def packed_tables(luts: EntropyLUTs) -> tuple:
