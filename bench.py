@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 TARGET_MPIX_S = 625.0  # 10 GPix/s / 16 chips (BASELINE.json:5)
-H, W, B = 1080, 1920, 4
+H, W, B = 1080, 1920, 8
 
 
 def _test_frames(h: int, w: int, b: int) -> np.ndarray:
