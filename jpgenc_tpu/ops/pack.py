@@ -167,15 +167,8 @@ def stuff_compact(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
     """
     n_seg, w = seg_words.shape
     wb = 4 * w
-
-    # --- segment words -> bytes [n_seg, 4W], with 1-padding in the last byte
-    by = jnp.stack([(seg_words >> 24) & 0xFF, (seg_words >> 16) & 0xFF,
-                    (seg_words >> 8) & 0xFF, seg_words & 0xFF],
-                   axis=-1).reshape(n_seg, wb).astype(_I32)
     nbytes = (seg_bits + 7) >> 3
     pad_mask = ((1 << ((-seg_bits) & 7)) - 1).astype(_I32)
-    col = jax.lax.broadcasted_iota(_I32, (n_seg, wb), 1)
-    by = by | jnp.where(col == (nbytes - 1)[:, None], pad_mask[:, None], 0)
 
     # --- unstuffed stream U with RSTn joins: per-segment extent =
     # nbytes + 2 marker bytes for the first n_rst segments
@@ -189,7 +182,15 @@ def stuff_compact(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
     q = p - base[s]
     in_stream = p < raw_len
     in_data = (q < nbytes[s]) & in_stream
-    data_byte = by.reshape(-1)[s * wb + jnp.clip(q, 0, wb - 1)]
+    # gather WORDS and extract bytes arithmetically (gathering from a
+    # pre-expanded byte table would materialize 4x the segment buffer for
+    # cap_u worth of reads); apply the final byte's 1-padding in the same
+    # gathered domain
+    qc = jnp.clip(q, 0, wb - 1)
+    word = jax.lax.bitcast_convert_type(seg_words, _I32).reshape(-1)[
+        s * w + (qc >> 2)]
+    data_byte = (word >> ((3 - (qc & 3)) * 8)) & 0xFF
+    data_byte = data_byte | jnp.where(q == nbytes[s] - 1, pad_mask[s], 0)
     rst_num = 0xD0 + ((first_rst + s) & 7)
     u = jnp.where(in_data, data_byte,
                   jnp.where(in_stream & (q == nbytes[s]), 0xFF,
