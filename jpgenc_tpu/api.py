@@ -30,11 +30,16 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
     plan = get_plan(layout)
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
 
-    tiers = [scan_caps(layout, cfg.quality, "tight"),
-             scan_caps(layout, cfg.quality, "safe")]
-    if tiers[0] == tiers[1]:
-        tiers = tiers[:1]
-    w_blk = w_blk_for_quality(cfg.quality)
+    # Fallback chain (SURVEY.md hard part 1 capacity design): tight caps
+    # first, then safe caps, then true-worst-case caps with the
+    # never-overflowing w_blk=56 block bucket — so even noise-like content
+    # stays on the device pipeline. The host word path below is a safety net
+    # that no input should reach.
+    w_blk_q = w_blk_for_quality(cfg.quality)
+    tiers = [scan_caps(layout, cfg.quality, "tight") + (w_blk_q,),
+             scan_caps(layout, cfg.quality, "safe") + (w_blk_q,),
+             scan_caps(layout, cfg.quality, "worst") + (56,)]
+    tiers = [t for i, t in enumerate(tiers) if t not in tiers[:i]]
     if cfg.optimize_huffman:
         blocks = plan.blocks(img, qt_dev)
         freq = np.asarray(plan.histogram(blocks))
@@ -44,7 +49,7 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
         ac_tables = [build_codes(*optimize_tables(freq[1, t].astype(np.int64)))
                      for t in range(n_tabs)]
         luts = luts_from_tables(dc_tables, ac_tables)
-        for cap_u, cap_s in tiers:
+        for cap_u, cap_s, w_blk in tiers:
             scan, ok = plan.entropy_scan_bytes(blocks, luts, cap_u, cap_s,
                                                w_blk)
             if ok:
@@ -55,7 +60,7 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        for cap_u, cap_s in tiers:
+        for cap_u, cap_s, w_blk in tiers:
             scan, ok = plan.encode_scan_bytes(img, qt_dev, luts, cap_u, cap_s,
                                               w_blk)
             if ok:

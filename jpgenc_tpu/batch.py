@@ -39,7 +39,7 @@ def _load_manifest(path: str) -> dict[int, str]:
     return done
 
 
-def run_batch(images: Sequence[np.ndarray] | np.ndarray,
+def run_batch(images: Sequence[np.ndarray | str] | np.ndarray,
               output_paths: Sequence[str],
               manifest_path: str,
               quality: int = 75,
@@ -51,25 +51,58 @@ def run_batch(images: Sequence[np.ndarray] | np.ndarray,
               encode_chunk: Callable | None = None) -> BatchResult:
     """Encode images[i] -> output_paths[i] with resume via the manifest.
 
-    `encode_chunk(imgs, ...)` defaults to parallel.mesh.encode_batch; override
-    for tests / fault injection.
+    `images` entries may be uint8 arrays or file paths (loaded lazily, one
+    chunk at a time, via jpgenc_tpu.io — the 1024-image config never holds
+    the whole set in memory). Mixed shapes are grouped so every chunk is a
+    stackable same-shape batch. `encode_chunk(imgs, ...)` defaults to
+    parallel.mesh.encode_batch; override for tests / fault injection.
     """
     if len(images) != len(output_paths):
         raise ValueError("images and output_paths length mismatch")
     if encode_chunk is None:
         from jpgenc_tpu.parallel.mesh import encode_batch as encode_chunk
 
+    _shapes: dict[int, tuple] = {}
+
+    def _shape_of(i):
+        if i not in _shapes:
+            item = images[i]
+            if isinstance(item, str):
+                from jpgenc_tpu import io as _io
+                h, w, ch = _io.probe(item)
+                _shapes[i] = (h, w) if ch == 1 else (h, w, ch)
+            else:
+                _shapes[i] = np.asarray(item).shape
+        return _shapes[i]
+
+    def _load(i):
+        item = images[i]
+        if isinstance(item, str):
+            from jpgenc_tpu import io as _io
+            return _io.load(item)
+        return np.asarray(item)
+
     done = _load_manifest(manifest_path)
     todo = [i for i in range(len(images))
             if done.get(i) != output_paths[i]]
     skipped = len(images) - len(todo)
+    # group by shape (stable within a group) so chunks stack cleanly
+    todo.sort(key=lambda i: (_shape_of(i), i))
+
+    # split chunk boundaries at shape changes
+    chunks: list[list[int]] = []
+    for i in todo:
+        if (chunks and len(chunks[-1]) < chunk_size
+                and _shape_of(chunks[-1][0]) == _shape_of(i)):
+            chunks[-1].append(i)
+        else:
+            chunks.append([i])
 
     px_done = 0
     t0 = time.perf_counter()
     with open(manifest_path, "a") as mf:
-        for lo in range(0, len(todo), chunk_size):
-            idxs = todo[lo:lo + chunk_size]
-            chunk = np.stack([np.asarray(images[i]) for i in idxs])
+        for idxs in chunks:
+            chunk = np.stack([_load(i) for i in idxs])
             outs = encode_chunk(chunk, quality=quality,
                                 subsampling=subsampling,
                                 restart_interval=restart_interval,

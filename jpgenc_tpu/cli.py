@@ -52,6 +52,32 @@ def cmd_encode(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_batch(args: argparse.Namespace) -> int:
+    """Checkpointed batch encode of a directory (or glob) of image files."""
+    import os
+
+    from jpgenc_tpu import io
+    from jpgenc_tpu.batch import run_batch
+
+    paths = io.find_images(args.input, args.glob)
+    if not paths:
+        print(f"no images match {args.input!r}", file=sys.stderr)
+        return 1
+    os.makedirs(args.output, exist_ok=True)
+    outs = [os.path.join(args.output,
+                         os.path.splitext(os.path.basename(p))[0] + ".jpg")
+            for p in paths]
+    manifest = args.manifest or os.path.join(args.output, "manifest.jsonl")
+    res = run_batch(paths, outs, manifest, quality=args.quality,
+                    subsampling=args.subsampling,
+                    restart_interval=args.restart, optimize=args.optimize,
+                    chunk_size=args.chunk)
+    print(json.dumps({"images": len(paths), "done": res.done,
+                      "skipped": res.skipped,
+                      "mpix_per_s": round(res.mpix_per_s, 2)}))
+    return 0
+
+
 def cmd_decode(args: argparse.Namespace) -> int:
     from jpgenc_tpu.api import decode
     with open(args.input, "rb") as f:
@@ -128,6 +154,22 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--stripes", type=int, default=1,
                    help="shard MCU-row stripes over the device mesh")
     e.set_defaults(fn=cmd_encode)
+
+    bt = sub.add_parser("batch",
+                        help="checkpointed batch encode of a directory")
+    bt.add_argument("input", help="directory or glob of image files")
+    bt.add_argument("output", help="output directory for .jpg files")
+    bt.add_argument("--glob", default="*", help="filename pattern inside dir")
+    bt.add_argument("--quality", type=int, default=75)
+    bt.add_argument("--subsampling", choices=["444", "422", "420"],
+                    default="420")
+    bt.add_argument("--restart", type=int, default=0)
+    bt.add_argument("--optimize", action="store_true")
+    bt.add_argument("--chunk", type=int, default=16,
+                    help="images per sharded encode chunk")
+    bt.add_argument("--manifest", default="",
+                    help="resume manifest path (default OUTPUT/manifest.jsonl)")
+    bt.set_defaults(fn=cmd_batch)
 
     d = sub.add_parser("decode", help="decode a baseline JFIF file")
     d.add_argument("input")

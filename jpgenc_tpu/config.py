@@ -28,3 +28,24 @@ class EncodeConfig:
             raise ValueError(f"subsampling must be one of {VALID_SUBSAMPLING}")
         if self.restart_interval < 0 or self.restart_interval > 0xFFFF:
             raise ValueError("restart_interval must be in [0, 65535]")
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Declarative device-mesh choice (SURVEY.md section 6 config system).
+
+    batch/stripe: devices along each axis; 0 = use all remaining devices.
+    A (batch=0, stripe=1) default gives the 1-D data-parallel mesh; striped
+    single-image encodes set stripe>1. Resolve to a jax Mesh with
+    parallel.mesh.make_mesh(cfg) — hashable, so usable as a jit static arg.
+    """
+    batch: int = 0
+    stripe: int = 1
+    batch_axis: str = "batch"
+    stripe_axis: str = "stripe"
+
+    def __post_init__(self):
+        if self.batch < 0 or self.stripe < 1:
+            raise ValueError("batch must be >= 0 and stripe >= 1")
+        if self.batch_axis == self.stripe_axis:
+            raise ValueError("mesh axis names must differ")

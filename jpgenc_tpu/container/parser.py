@@ -41,8 +41,18 @@ class ParsedJpeg:
     def subsampling(self) -> str:
         if len(self.comps) == 1:
             return "gray"
+        if len(self.comps) != 3:
+            raise ValueError(
+                f"unsupported component count {len(self.comps)} "
+                "(baseline gray or YCbCr only)")
         hs, vs = self.comps[0].hs, self.comps[0].vs
-        return {(1, 1): "444", (2, 1): "422", (2, 2): "420"}[(hs, vs)]
+        mode = {(1, 1): "444", (2, 1): "422", (2, 2): "420"}.get((hs, vs))
+        if mode is None or any((c.hs, c.vs) != (1, 1) for c in self.comps[1:]):
+            factors = "".join(f" {c.hs}x{c.vs}" for c in self.comps)
+            raise ValueError(
+                f"unsupported sampling factors{factors} "
+                "(supported: 4:4:4, 4:2:2, 4:2:0, grayscale)")
+        return mode
 
 
 def parse_jpeg(data: bytes) -> ParsedJpeg:
@@ -54,13 +64,23 @@ def parse_jpeg(data: bytes) -> ParsedJpeg:
     while i < n:
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at offset {i}")
+        if i + 1 >= n:
+            raise ValueError("truncated JPEG: lone 0xFF at end of data")
         marker = data[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
             break
         if 0xD0 <= marker <= 0xD7:
             raise ValueError("unexpected RST outside scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            continue  # standalone markers carry no length field
+        if i + 2 > n:
+            raise ValueError("truncated JPEG: marker without length")
         seg_len = int.from_bytes(data[i:i + 2], "big")
+        if seg_len < 2 or i + seg_len > n:
+            raise ValueError(
+                f"truncated JPEG: segment 0xFF{marker:02X} length {seg_len} "
+                f"overruns data")
         payload = data[i + 2:i + seg_len]
         i += seg_len
 
@@ -73,19 +93,30 @@ def parse_jpeg(data: bytes) -> ParsedJpeg:
                 p += 1
                 if pq != 0:
                     raise ValueError("only 8-bit quant tables supported")
+                if len(payload) < p + 64:
+                    raise ValueError("truncated DQT payload")
                 zz = np.frombuffer(payload[p:p + 64], dtype=np.uint8).astype(np.int32)
                 nat = np.zeros(64, dtype=np.int32)
                 nat[T.ZIGZAG] = zz  # payload is zigzag; store natural
                 out.qtables[tq] = nat
                 p += 64
         elif marker == 0xC0:  # SOF0
+            if len(payload) < 6:
+                raise ValueError("truncated SOF0 payload")
             out.precision = payload[0]
             out.height = int.from_bytes(payload[1:3], "big")
             out.width = int.from_bytes(payload[3:5], "big")
+            if out.height == 0 or out.width == 0:
+                raise ValueError("SOF0 declares zero image dimensions")
             nc = payload[5]
+            if len(payload) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
             for c in range(nc):
                 cid, samp, tq = payload[6 + 3 * c:9 + 3 * c]
-                out.comps.append(FrameComponent(cid, samp >> 4, samp & 0xF, tq))
+                hs, vs = samp >> 4, samp & 0xF
+                if hs == 0 or vs == 0:
+                    raise ValueError("SOF0 declares zero sampling factor")
+                out.comps.append(FrameComponent(cid, hs, vs, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker 0xFF{marker:02X} (baseline only)")
@@ -93,8 +124,12 @@ def parse_jpeg(data: bytes) -> ParsedJpeg:
             p = 0
             while p < len(payload):
                 tc, th = payload[p] >> 4, payload[p] & 0xF
+                if len(payload) < p + 17:
+                    raise ValueError("truncated DHT payload")
                 bits = np.frombuffer(payload[p + 1:p + 17], dtype=np.uint8).astype(np.int32)
                 nv = int(bits.sum())
+                if len(payload) < p + 17 + nv:
+                    raise ValueError("truncated DHT symbol list")
                 vals = np.frombuffer(payload[p + 17:p + 17 + nv], dtype=np.uint8).astype(np.int32)
                 tbl = build_codes(bits, vals)
                 (out.ac_tables if tc else out.dc_tables)[th] = tbl
@@ -102,6 +137,8 @@ def parse_jpeg(data: bytes) -> ParsedJpeg:
         elif marker == 0xDD:  # DRI
             out.restart_interval = int.from_bytes(payload[:2], "big")
         elif marker == 0xDA:  # SOS
+            if not payload or len(payload) < 1 + 2 * payload[0]:
+                raise ValueError("truncated SOS payload")
             ns = payload[0]
             for s in range(ns):
                 cs, tda = payload[1 + 2 * s], payload[2 + 2 * s]

@@ -84,13 +84,31 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
 
     Uses the native C++ decoder (jpgenc_tpu.native) when available; the pure
     Python reader below is the reference fallback and stays test-covered.
+
+    Table assignments come from the file's SOS header (parsed.comps), not the
+    canonical layout ids, so foreign baseline files with unusual Td/Ta
+    assignments decode with the right tables.
     """
-    if native.available():
+    comp_dc = [c.dc_tab for c in parsed.comps]
+    comp_ac = [c.ac_tab for c in parsed.comps]
+    for cid, (d, a) in enumerate(zip(comp_dc, comp_ac)):
+        if d not in parsed.dc_tables:
+            raise ValueError(
+                f"component {cid} references undefined DC Huffman table {d}")
+        if a not in parsed.ac_tables:
+            raise ValueError(
+                f"component {cid} references undefined AC Huffman table {a}")
+
+    if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac):
         def by_id(d):
-            return [d[i] for i in sorted(d)] or [None]
+            # native rows are indexed BY table id; a missing slot (the file
+            # only defines the other id) gets a placeholder that is never
+            # referenced (ids validated above)
+            r0, r1 = d.get(0), d.get(1)
+            return [r0 if r0 is not None else r1,
+                    r1 if r1 is not None else r0]
         out = native.decode_scan(
-            parsed.scan_data, layout,
-            [c.dc_tab for c in layout.comps], [c.ac_tab for c in layout.comps],
+            parsed.scan_data, layout, comp_dc, comp_ac,
             by_id(parsed.dc_tables), by_id(parsed.ac_tables))
         if out is not None:
             return out
@@ -124,15 +142,14 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
         j1 = min(j0 + spb, layout.n_scan)
         for j in range(j0, j1):
             ci = int(layout.scan_comp[j])
-            comp = layout.comps[ci]
             blk = out[layout.scan_flat[j]]
-            ssss = _read_symbol(br, dc_luts[comp.dc_tab])
+            ssss = _read_symbol(br, dc_luts[comp_dc[ci]])
             diff = _extend(br.read_bits(ssss), ssss)
             pred[ci] += diff
             blk[0] = pred[ci]
             k = 1
             while k < 64:
-                rs = _read_symbol(br, ac_luts[comp.ac_tab])
+                rs = _read_symbol(br, ac_luts[comp_ac[ci]])
                 r, sz = rs >> 4, rs & 15
                 if sz == 0:
                     if rs == T.ZRL:
@@ -147,26 +164,58 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
     return out
 
 
-def reconstruct_pixels(layout: FrameLayout, all_blocks: np.ndarray,
-                       qtables: dict[int, np.ndarray]) -> np.ndarray:
-    """Device reconstruction: blocks -> uint8 image, cropped to original size."""
+_RECON: dict[tuple, object] = {}
+
+
+def _recon_jit(layout: FrameLayout):
+    """One jitted blocks->pixels pipeline per layout geometry (the whole
+    reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
+    single device dispatch instead of per-component un-jitted helpers)."""
+    key = (layout.height, layout.width, layout.subsampling)
+    fn = _RECON.get(key)
+    if fn is not None:
+        return fn
     offs = layout.comp_offsets
-    planes = []
-    for ci, comp in enumerate(layout.comps):
-        zz = jnp.asarray(all_blocks[offs[ci]:offs[ci] + comp.n_blocks])
-        qt = jnp.asarray(qtables[comp.qtab])
-        plane = X.zigzag_to_plane(zz, qt, comp.plane_h, comp.plane_w)
-        planes.append(plane)
+    comps = layout.comps
+
     if layout.is_gray:
-        out = jnp.clip(jnp.round(planes[0]), 0, 255).astype(jnp.uint8)
-        return np.asarray(out)[:layout.height, :layout.width]
-    c0 = layout.comps[0]
-    y = planes[0]
-    cb = C.upsample_fancy(planes[1], c0.hs, c0.vs)
-    cr = C.upsample_fancy(planes[2], c0.hs, c0.vs)
-    ycc = jnp.stack([y, cb, cr], axis=-1)
-    rgb = C.ycbcr_to_rgb(ycc)
-    out = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+        def _fn(blocks, qts):
+            plane = X.zigzag_to_plane(blocks[:comps[0].n_blocks], qts[0],
+                                      comps[0].plane_h, comps[0].plane_w)
+            return jnp.clip(jnp.round(plane), 0, 255).astype(jnp.uint8)
+    else:
+        c0 = comps[0]
+
+        def _fn(blocks, qts):
+            planes = [
+                X.zigzag_to_plane(blocks[offs[i]:offs[i] + comps[i].n_blocks],
+                                  qts[i], comps[i].plane_h, comps[i].plane_w)
+                for i in range(3)]
+            y = planes[0]
+            cb = C.upsample_fancy(planes[1], c0.hs, c0.vs)
+            cr = C.upsample_fancy(planes[2], c0.hs, c0.vs)
+            rgb = C.ycbcr_to_rgb(jnp.stack([y, cb, cr], axis=-1))
+            return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+    fn = jax.jit(_fn)
+    _RECON[key] = fn
+    return fn
+
+
+def reconstruct_pixels(layout: FrameLayout, all_blocks: np.ndarray,
+                       qtables) -> np.ndarray:
+    """Device reconstruction: blocks -> uint8 image, cropped to original size.
+
+    qtables: dict keyed by the layout's quant-table ids, or a per-component
+    sequence of [64]-element natural-order tables (foreign files may assign
+    any Tq per component).
+    """
+    if isinstance(qtables, dict):
+        qts = [np.asarray(qtables[c.qtab]) for c in layout.comps]
+    else:
+        qts = [np.asarray(q) for q in qtables]
+    qts = [jnp.asarray(q.reshape(64).astype(np.int32)) for q in qts]
+    out = _recon_jit(layout)(jnp.asarray(all_blocks), qts)
     return np.asarray(out)[:layout.height, :layout.width]
 
 
@@ -185,5 +234,13 @@ def decode_to_coefficients(data: bytes) -> tuple[FrameLayout, np.ndarray, dict]:
 
 def decode(data: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 image ([H,W] grayscale or [H,W,3] RGB)."""
-    layout, blocks, qtables = decode_to_coefficients(data)
-    return reconstruct_pixels(layout, blocks, qtables)
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    blocks = decode_scan_to_blocks(parsed, layout)
+    qts = []
+    for ci, c in enumerate(parsed.comps):
+        if c.qtab not in parsed.qtables:
+            raise ValueError(
+                f"component {ci} references undefined quant table {c.qtab}")
+        qts.append(parsed.qtables[c.qtab])
+    return reconstruct_pixels(layout, blocks, qts)

@@ -263,19 +263,27 @@ class DevicePlan:
         return stuffed[:int(out_len)].tobytes(), True
 
     def encode_scan_bytes(self, img, qtabs, luts, cap_u: int, cap_s: int,
-                          w_blk: int):
-        """Full device encode -> (scan bytes, ok). ok=False on any overflow."""
+                          w_blk: int, first_rst: int = 0, n_rst: int = -1):
+        """Full device encode -> (scan bytes, ok). ok=False on any overflow.
+
+        first_rst/n_rst override the RSTn numbering for stripe sub-images
+        (n_rst=-1 selects the whole-image default of n_segments-1).
+        """
         fns = self.bytes_fns(cap_u, cap_s, w_blk)
+        if n_rst < 0:
+            n_rst = self.n_seg - 1
         outs = fns["encode"](img, qtabs, self.plan, self.scan_flat, luts,
-                             jnp.int32(0), jnp.int32(self.n_seg - 1))
+                             jnp.int32(first_rst), jnp.int32(n_rst))
         return self._finish_bytes(outs, cap_u, cap_s)
 
     def entropy_scan_bytes(self, blocks, luts, cap_u: int, cap_s: int,
-                           w_blk: int):
+                           w_blk: int, first_rst: int = 0, n_rst: int = -1):
         """Entropy-only device encode (pass 2 of optimize mode) -> bytes."""
         fns = self.bytes_fns(cap_u, cap_s, w_blk)
+        if n_rst < 0:
+            n_rst = self.n_seg - 1
         outs = fns["entropy"](blocks, self.plan, self.scan_flat, luts,
-                              jnp.int32(0), jnp.int32(self.n_seg - 1))
+                              jnp.int32(first_rst), jnp.int32(n_rst))
         return self._finish_bytes(outs, cap_u, cap_s)
 
     # -- public ------------------------------------------------------------
@@ -341,17 +349,23 @@ def scan_caps(layout: FrameLayout, quality: int,
     Sized from a quality-bucketed bits-per-coefficient-pixel heuristic,
     clamped to the true worst case. The device stuffing pass and the
     device->host download both scale with the cap, so encode tries the
-    "tight" tier first (covers typical photographic content) and retries
-    with "safe" (covers noise-like content) on overflow; the host word
-    path remains the final fallback.
+    "tight" tier first (covers typical photographic content), retries with
+    "safe" (covers noise-like content), and finally "worst" — true
+    worst-case capacities that can NEVER overflow (paired with w_blk=56,
+    which covers MAX_BLOCK_BITS), so even pathological content stays on the
+    device pipeline. The host word path survives only as a last-resort
+    safety net.
     """
+    worst = sum(c.n_blocks for c in layout.comps) * MAX_BLOCK_BITS // 8 + \
+        2 * layout.n_segments + 8
+    if tier == "worst":
+        # stuffing at most doubles the data bytes (every byte 0xFF)
+        return worst, 2 * worst + 16
     px = sum(c.plane_h * c.plane_w for c in layout.comps)
     if tier == "tight":
         bpp = 0.5 if quality <= 80 else (1.0 if quality <= 92 else 2.0)
     else:
         bpp = 2.0 if quality <= 80 else (4.0 if quality <= 92 else 7.0)
-    worst = sum(c.n_blocks for c in layout.comps) * MAX_BLOCK_BITS // 8 + \
-        2 * layout.n_segments + 8
     cap_u = min(int(px * bpp / 8) + 1024, worst)
     cap_u = -(-cap_u // 1024) * 1024
     cap_s = cap_u + cap_u // 16 + 64

@@ -153,6 +153,15 @@ int decode_scan(const uint8_t* data, int64_t data_len,
         ac[t].build(ac_bits + 16 * t, ac_vals + 256 * t);
     }
 
+    // Table ids index the 2-element decoder arrays; reject anything else up
+    // front (the SOS parser accepts Th up to 15 — an unvalidated id here
+    // would read out of bounds).
+    for (int c = 0; c < n_comps && c < 4; ++c) {
+        if (comp_dc_tab[c] < 0 || comp_dc_tab[c] > 1 ||
+            comp_ac_tab[c] < 0 || comp_ac_tab[c] > 1)
+            return -8;
+    }
+
     // Pre-validate the RSTn structure: a truncated stream must fail loudly,
     // exactly as the Python reference decoder does.
     {

@@ -94,6 +94,13 @@ def fused_seg_merge(buf: jnp.ndarray, bits: jnp.ndarray, n_seg: int,
     w1 = w_blk + 1
     w_seg = spb * w_blk + 2
 
+    # A block overflowing w_blk*32 bits would push later offsets past the
+    # span the kernel's dynamic slices assume (Mosaic does not bounds-check —
+    # an overflow could fault or corrupt scratch before the host ever sees
+    # the ovf flag). Clamp per-block lengths for the offset math: outputs are
+    # discarded whenever ovf is set, so clamping never changes valid results.
+    bits = jnp.minimum(bits, w_blk * 32)
+
     # --- XLA prologue: offsets + per-block funnel shift (elementwise)
     b2 = bits.reshape(n_seg, spb)
     csum = jnp.cumsum(b2, axis=1)

@@ -34,11 +34,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from jpgenc_tpu.config import EncodeConfig
+from jpgenc_tpu.config import EncodeConfig, MeshConfig
 from jpgenc_tpu.container.jfif import build_headers
 from jpgenc_tpu.engine import (DevicePlan, get_plan, luts_from_tables,
                                qtables_for_quality, scan_caps,
-                               scan_to_segments_blocked, segments_to_scan)
+                               scan_to_segments_blocked)
 from jpgenc_tpu.ops.pack import stuff_compact, w_blk_for_quality
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
@@ -50,6 +50,65 @@ from jpgenc_tpu.ref.encoder import standard_tables
 
 def default_mesh(axis: str = "batch") -> Mesh:
     return Mesh(np.array(jax.devices()), (axis,))
+
+
+def make_mesh(cfg: MeshConfig) -> Mesh:
+    """Resolve a declarative MeshConfig to a jax Mesh over this slice.
+
+    stripe == 1 builds the 1-D data-parallel mesh (no degenerate axis, so
+    batched executables cache-key identically to the default mesh); stripe > 1
+    builds the 2-D ('batch', 'stripe') mesh of call stack 4.5.
+    """
+    devs = jax.devices()
+    n = len(devs)
+    b, s = cfg.batch, cfg.stripe
+    if s > n:
+        raise ValueError(f"stripe={s} exceeds {n} available devices")
+    if b == 0:
+        b = n // s
+    if b * s > n:
+        raise ValueError(f"mesh {b}x{s} exceeds {n} available devices")
+    if s == 1:
+        return Mesh(np.array(devs[:b]), (cfg.batch_axis,))
+    return Mesh(np.array(devs[:b * s]).reshape(b, s),
+                (cfg.batch_axis, cfg.stripe_axis))
+
+
+def _as_mesh(mesh) -> Mesh | None:
+    return make_mesh(mesh) if isinstance(mesh, MeshConfig) else mesh
+
+
+def _local_rows(*arrays) -> dict[int, tuple]:
+    """Locally-addressable rows of batch-sharded arrays, keyed by global row.
+
+    On a multi-host mesh `jax.device_get` of a globally-sharded array raises
+    (non-addressable shards); every host instead fetches only the shards on
+    its own devices and assembles the rows it owns (SURVEY.md call stack 4.5:
+    "per-image bytes assembled on owning host"). Single-process runs see every
+    row. All arrays must share the same batch sharding.
+    """
+    rows: dict[int, tuple] = {}
+    shards_per_array = [a.addressable_shards for a in arrays]
+    for shs in zip(*shards_per_array):
+        sl = shs[0].index[0] if shs[0].index else slice(None)
+        start = sl.start or 0
+        datas = [np.asarray(sh.data) for sh in shs]
+        for k in range(datas[0].shape[0]):
+            rows.setdefault(start + k, tuple(d[k] for d in datas))
+    return rows
+
+
+def _exchange_rows(rows: dict[int, bytes]) -> dict[int, bytes]:
+    """All-gather per-row host byte blobs across processes (DCN, host side)."""
+    from jpgenc_tpu.parallel import multihost
+    if multihost.process_count() == 1:
+        return rows
+    import pickle
+    blobs = multihost.gather_bytes(pickle.dumps(rows))
+    merged: dict[int, bytes] = {}
+    for blob in blobs:
+        merged.update(pickle.loads(blob))
+    return merged
 
 
 # ---------------------------------------------------------------------------
@@ -135,11 +194,13 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         "hist": jax.jit(
             jax.vmap(_hist1, in_axes=(0, None, None)),
             in_shardings=(sh_blk, rep, rep)),
+        # global histogram reduction: out_shardings pins the psum result to
+        # fully-replicated so every host can fetch it (multi-host safe)
         "hist_sum": jax.jit(
             lambda blocks, splan, scan_flat: jax.vmap(
                 _hist1, in_axes=(0, None, None))(blocks, splan, scan_flat
                                                  ).sum(axis=0),
-            in_shardings=(sh_blk, rep, rep)),
+            in_shardings=(sh_blk, rep, rep), out_shardings=rep),
         "sharding_img": sh_img,
         "caps": caps,
     }
@@ -166,6 +227,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
                        restart_interval=restart_interval,
                        optimize_huffman=optimize)
     imgs = np.ascontiguousarray(imgs)
+    mesh = _as_mesh(mesh)
     if mesh is None:
         mesh = default_mesh()
     n_dev = mesh.devices.size
@@ -189,11 +251,15 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     n_tabs = 1 if layout.is_gray else 2
     if cfg.optimize_huffman:
         blocks = fns["blocks"](imgs_dev, qt_dev)
-        freqs = np.asarray(fns["hist"](blocks, plan.plan, plan.scan_flat))
+        hist = fns["hist"](blocks, plan.plan, plan.scan_flat)
+        # per-image histograms live sharded across hosts: each host builds
+        # tables for its own rows, then the table blobs are exchanged so
+        # every process traces the same replicated luts_b (SPMD requirement)
+        local_freq = {i: f[0] for i, f in _local_rows(hist).items()}
+        freqs = _exchange_rows(local_freq)
         per_img_tables = [_build_tables_from_freq(freqs[i], n_tabs)
-                          for i in range(b)] + [None] * pad
-        if pad:  # reuse last real image's tables for padding
-            per_img_tables[b:] = [per_img_tables[b - 1]] * pad
+                          for i in range(b)]
+        per_img_tables += [per_img_tables[b - 1]] * pad  # padding rows
         luts_list = [luts_from_tables(dc, ac) for dc, ac in per_img_tables]
         luts_b = jax.tree.map(lambda *xs: jnp.stack(xs), *luts_list)
         stuffed, out_len, raw_len, ovf = fns["entropy_bytes_perimg"](
@@ -206,25 +272,39 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
             imgs_dev, qt_dev, plan.plan, plan.scan_flat, luts,
             first_rst, n_rst)
 
-    stuffed, out_len, raw_len, ovf = jax.device_get(
-        (stuffed, out_len, raw_len, ovf))
-    overflow = (raw_len > caps[0]) | (out_len > caps[1]) | ovf
-
-    out = []
-    for i in range(b):
+    # per-process assembly over addressable shards only (multi-host safe),
+    # then host-side exchange so every process returns the full result list
+    rows = _local_rows(stuffed, out_len, raw_len, ovf)
+    blocks_rows = None
+    local: dict[int, bytes] = {}
+    for i in sorted(rows):
+        if i >= b:
+            continue  # batch padding
+        st, ol, rl, ov = rows[i]
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
-        if overflow[i]:
-            # rare: redo just this image through api.encode's fallback chain
-            from jpgenc_tpu.api import encode as _encode_one
-            out.append(_encode_one(np.asarray(imgs[i]), quality=cfg.quality,
-                                   subsampling=cfg.subsampling,
-                                   restart_interval=cfg.restart_interval,
-                                   optimize=cfg.optimize_huffman))
-            continue
         hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
-        out.append(hdr + stuffed[i, :int(out_len[i])].tobytes() + b"\xff\xd9")
-    return out
+        if bool(ov) or int(rl) > caps[0] or int(ol) > caps[1]:
+            # rare (noise-like content overflowing the tight tier): re-run
+            # only the device finalize for this image at the never-overflowing
+            # worst tier, on this process's own devices — the batch stays on
+            # the device pipeline (no host word path)
+            cap_u3, cap_s3 = scan_caps(layout, cfg.quality, "worst")
+            if cfg.optimize_huffman:
+                if blocks_rows is None:
+                    blocks_rows = _local_rows(blocks)
+                luts_i = luts_from_tables(dc_tables, ac_tables)
+                scan, ok = plan.entropy_scan_bytes(blocks_rows[i][0], luts_i,
+                                                   cap_u3, cap_s3, 56)
+            else:
+                scan, ok = plan.encode_scan_bytes(np.asarray(imgs[i]), qt_dev,
+                                                  luts, cap_u3, cap_s3, 56)
+            assert ok, "worst-tier device finalize cannot overflow"
+            local[i] = hdr + scan + b"\xff\xd9"
+        else:
+            local[i] = hdr + st[:int(ol)].tobytes() + b"\xff\xd9"
+    full = _exchange_rows(local)
+    return [full[i] for i in range(b)]
 
 
 # ---------------------------------------------------------------------------
@@ -252,6 +332,13 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     (SURVEY.md hard part 5).
     """
     img = np.ascontiguousarray(img)
+    if isinstance(mesh, MeshConfig):
+        # a single image only uses the stripe axis: build a 1-D stripe mesh
+        devs = jax.devices()
+        ns = mesh.stripe if mesh.stripe > 1 else min(len(devs), n_stripes)
+        while n_stripes % ns:
+            ns -= 1
+        mesh = Mesh(np.array(devs[:ns]), (mesh.stripe_axis,))
     if mesh is None:
         # largest device count dividing n_stripes, so stripes shard evenly
         devs = jax.devices()
@@ -311,32 +398,37 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
             stripes_dev, qt_dev, plan.plan, plan.scan_flat, luts,
             first_rst, n_rst)
 
-    # host assembly: slice each stripe's stuffed segment run and concatenate
-    # into one scan (multi-host: process_allgather of the per-stripe blobs)
-    stuffed, out_len, raw_len, ovf = jax.device_get(
-        (stuffed, out_len, raw_len, ovf))
-    overflow = (raw_len > caps[0]) | (out_len > caps[1]) | ovf
-    if overflow.any():
-        if optimize:
-            seg_words, seg_bits = fns["entropy_shared"](blocks, plan.plan,
-                                                        plan.scan_flat, luts)
+    # per-process assembly: each host slices its own stripes' stuffed bytes
+    # (addressable shards only — multi-host safe), then the per-stripe blobs
+    # are exchanged over DCN and concatenated into ONE scan on every process
+    # (SURVEY.md hard part 5 / call stack 4.5)
+    rows = _local_rows(stuffed, out_len, raw_len, ovf)
+    blocks_rows = None
+    local: dict[int, bytes] = {}
+    for s in sorted(rows):
+        st, ol, rl, ov = rows[s]
+        g0 = s * segs_per_stripe
+        n_rst_s = segs_per_stripe if s < n_stripes - 1 else segs_per_stripe - 1
+        if bool(ov) or int(rl) > caps[0] or int(ol) > caps[1]:
+            # rare: redo only this stripe's device finalize at the
+            # never-overflowing worst tier on this process's devices
+            cap_u3, cap_s3 = scan_caps(stripe_layout, quality, "worst")
+            if optimize:
+                if blocks_rows is None:
+                    blocks_rows = _local_rows(blocks)
+                part, ok = plan.entropy_scan_bytes(
+                    blocks_rows[s][0], luts, cap_u3, cap_s3, 56,
+                    first_rst=g0, n_rst=n_rst_s)
+            else:
+                part, ok = plan.encode_scan_bytes(
+                    stripes[s], qt_dev, luts, cap_u3, cap_s3, 56,
+                    first_rst=g0, n_rst=n_rst_s)
+            assert ok, "worst-tier device finalize cannot overflow"
+            local[s] = part
         else:
-            seg_words, seg_bits = fns["encode"](stripes_dev, qt_dev, plan.plan,
-                                                plan.scan_flat, luts)
-        seg_words = np.asarray(seg_words)
-        seg_bits = np.asarray(seg_bits)
-    parts = []
-    for s in range(n_stripes):
-        if overflow[s]:
-            g0 = s * segs_per_stripe
-            parts.append(segments_to_scan(seg_words[s], seg_bits[s],
-                                          first_rst=g0))
-            if s < n_stripes - 1:
-                parts.append(bytes([0xFF,
-                                    0xD0 + ((g0 + segs_per_stripe - 1) % 8)]))
-        else:
-            parts.append(stuffed[s, :int(out_len[s])].tobytes())
-    scan = b"".join(parts)
+            local[s] = st[:int(ol)].tobytes()
+    full = _exchange_rows(local)
+    scan = b"".join(full[s] for s in range(n_stripes))
 
     # headers describe the FULL image with DRI = r
     file_layout = make_layout(h, w, mode, r)

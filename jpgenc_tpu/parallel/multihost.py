@@ -18,17 +18,27 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """Bring up the jax.distributed coordination service (gRPC).
 
-    No-op when the environment provides the configuration (GKE/TPU VM
-    autodetection) and for single-process runs.
+    MUST run before any other jax API touches a backend (jax.devices(),
+    jax.process_count(), any computation) — jax.distributed.initialize raises
+    once the backends exist, and probing process_count() is itself such a
+    touch. Re-entry is guarded via the distributed client state instead.
+
+    With explicit arguments this connects to (or hosts) the given coordinator.
+    With no arguments it attempts cluster auto-detection (TPU pod / GKE /
+    standard env vars); when auto-detection finds no cluster, the process
+    stays single-process and this returns quietly.
     """
     import jax
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes is None:
-        return  # single-process / auto-configured
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    if jax.distributed.is_initialized():
+        return  # coordination service already up
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        if coordinator_address is not None or num_processes is not None:
+            raise  # explicit configuration must not fail silently
+        # argless auto-detection found no cluster: single-process run
 
 
 def process_count() -> int:
