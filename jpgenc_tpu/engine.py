@@ -103,32 +103,91 @@ def blocks_to_scan(all_blocks: jnp.ndarray, scan_flat: jnp.ndarray) -> jnp.ndarr
     return all_blocks[scan_flat]
 
 
+#: scan-slot count above which the K1 stage runs as a lax.scan over MCU-row
+#: bands (bounds live intermediate footprint for 4K+ images — the SURVEY §6
+#: "long-context" mechanism; 1080p and below keep the whole-plane fast path)
+BAND_SLOT_THRESHOLD = 50_000
+
+
+def band_rows_for(layout: FrameLayout) -> int | None:
+    """MCU rows per K1 band, or None for the whole-plane path.
+
+    Picks the largest divisor of mcus_y that is <= 16 so bands tile the
+    plane exactly (worst case 1: one MCU row per scan step)."""
+    if layout.n_mcus * layout.blocks_per_mcu < BAND_SLOT_THRESHOLD:
+        return None
+    best = 1
+    for d in range(2, 17):
+        if layout.mcus_y % d == 0:
+            best = d
+    return best
+
+
+def _mcu_group(y, cb, cr, rows: int, mx: int, hs: int, vs: int):
+    """Raster per-component zigzag blocks -> interleaved scan order
+    (T.81 A.2.3) for `rows` MCU rows, via static reshapes only."""
+    yg = (y.reshape(rows, vs, mx, hs, 64)
+          .transpose(0, 2, 1, 3, 4)
+          .reshape(rows, mx, vs * hs, 64))
+    cbg = cb.reshape(rows, mx, 1, 64)
+    crg = cr.reshape(rows, mx, 1, 64)
+    return jnp.concatenate([yg, cbg, crg], axis=2).reshape(-1, 64)
+
+
 def pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
-                   qtabs: jnp.ndarray) -> jnp.ndarray:
+                   qtabs: jnp.ndarray,
+                   band_rows: int | None = None) -> jnp.ndarray:
     """u8 image -> [n_seg * blocks_per_segment, 64] zigzag blocks directly in
     the interleaved scan order (T.81 A.2.3) via static reshapes — replaces
     the pixels_to_blocks + scan-gather pair (a 49k-row data-dependent gather)
     with pure layout ops. Padding slots beyond n_scan are zero blocks
-    (SymbolPlan.valid masks them)."""
+    (SymbolPlan.valid masks them).
+
+    band_rows selects the banded path: a lax.scan over groups of MCU rows so
+    intermediate buffers stay bounded regardless of image size (4K+, SURVEY
+    §6). Bit-identical to the whole-plane path (same per-block numerics).
+    Defaults to band_rows_for(layout).
+    """
+    if band_rows is None:
+        band_rows = band_rows_for(layout)
     s_pad = layout.n_segments * layout.blocks_per_segment
     c0 = layout.comps[0]
+    my, mx, hs, vs = layout.mcus_y, layout.mcus_x, c0.hs, c0.vs
     if layout.is_gray:
         plane = C.pad_replicate(img, c0.plane_h, c0.plane_w).astype(jnp.float32)
-        zz = X.plane_to_zigzag(plane, qtabs[0])       # raster == scan order
+        if band_rows and band_rows < my:
+            bands = plane.reshape(my // band_rows, band_rows * 8, c0.plane_w)
+
+            def step(_, band):
+                return None, X.plane_to_zigzag(band, qtabs[0])
+
+            _, zz = jax.lax.scan(step, None, bands)
+            zz = zz.reshape(-1, 64)
+        else:
+            zz = X.plane_to_zigzag(plane, qtabs[0])   # raster == scan order
     else:
         padded = C.pad_replicate(img, c0.plane_h, c0.plane_w)
-        ycc = C.rgb_to_ycbcr(padded)
-        y = X.plane_to_zigzag(ycc[..., 0], qtabs[0])
-        cb = X.plane_to_zigzag(C.subsample(ycc[..., 1], c0.hs, c0.vs), qtabs[1])
-        cr = X.plane_to_zigzag(C.subsample(ycc[..., 2], c0.hs, c0.vs), qtabs[1])
-        my, mx, hs, vs = layout.mcus_y, layout.mcus_x, c0.hs, c0.vs
-        # raster block (my*vs + v, mx*hs + h) -> MCU-grouped [my, mx, vs*hs]
-        yg = (y.reshape(my, vs, mx, hs, 64)
-              .transpose(0, 2, 1, 3, 4)
-              .reshape(my, mx, vs * hs, 64))
-        cbg = cb.reshape(my, mx, 1, 64)
-        crg = cr.reshape(my, mx, 1, 64)
-        zz = jnp.concatenate([yg, cbg, crg], axis=2).reshape(-1, 64)
+        if band_rows and band_rows < my:
+            band_h = layout.mcu_h * band_rows
+            bands = padded.reshape(my // band_rows, band_h, c0.plane_w, 3)
+
+            def step(_, band):
+                ycc = C.rgb_to_ycbcr(band)
+                y = X.plane_to_zigzag(ycc[..., 0], qtabs[0])
+                cb = X.plane_to_zigzag(C.subsample(ycc[..., 1], hs, vs),
+                                       qtabs[1])
+                cr = X.plane_to_zigzag(C.subsample(ycc[..., 2], hs, vs),
+                                       qtabs[1])
+                return None, _mcu_group(y, cb, cr, band_rows, mx, hs, vs)
+
+            _, zz = jax.lax.scan(step, None, bands)
+            zz = zz.reshape(-1, 64)
+        else:
+            ycc = C.rgb_to_ycbcr(padded)
+            y = X.plane_to_zigzag(ycc[..., 0], qtabs[0])
+            cb = X.plane_to_zigzag(C.subsample(ycc[..., 1], hs, vs), qtabs[1])
+            cr = X.plane_to_zigzag(C.subsample(ycc[..., 2], hs, vs), qtabs[1])
+            zz = _mcu_group(y, cb, cr, my, mx, hs, vs)
     if s_pad > zz.shape[0]:
         zz = jnp.pad(zz, ((0, s_pad - zz.shape[0]), (0, 0)))
     return zz
