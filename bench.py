@@ -42,7 +42,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from jpgenc_tpu.container.jfif import build_headers
-    from jpgenc_tpu.engine import (get_plan, luts_from_tables,
+    from jpgenc_tpu.engine import (finalize_host, get_plan, luts_from_tables,
                                    qtables_for_quality, scan_caps)
     from jpgenc_tpu.layout import make_layout
     from jpgenc_tpu.parallel.mesh import encode_batch
@@ -54,7 +54,7 @@ def main() -> None:
     frames = _test_frames(H, W, B)
     layout = make_layout(H, W, "420", 0)
     plan = get_plan(layout)
-    caps = scan_caps(layout, 75, "tight") + (w_blk_for_quality(75),)
+    caps = (scan_caps(layout, 75, "tight")[0], w_blk_for_quality(75))
     qt_host, qt_dev = qtables_for_quality(75)
     dc_t, ac_t = standard_tables()
     luts = luts_from_tables(dc_t, ac_t)
@@ -64,16 +64,14 @@ def main() -> None:
     mesh = Mesh(np.array(jax.devices()[:1]), ("batch",))
     from jpgenc_tpu.parallel.mesh import _batched_fns
     fns = _batched_fns(plan, B, mesh, caps)
-    first_rst = jnp.zeros(B, jnp.int32)
-    n_rst = jnp.full(B, layout.n_segments - 1, jnp.int32)
     frames_dev = jax.device_put(frames, fns["sharding_img"])
+    n_rst = layout.n_segments - 1
 
     def run_once():
-        stuffed, out_len, raw_len, ovf = fns["encode_bytes"](
-            frames_dev, qt_dev, plan.plan, plan.scan_flat, luts,
-            first_rst, n_rst)
-        stuffed, out_len = jax.device_get((stuffed, out_len))
-        return [hdr + stuffed[i, :int(out_len[i])].tobytes() + b"\xff\xd9"
+        u, nbytes, ovf = fns["encode_bytes"](
+            frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
+        u, nbytes = jax.device_get((u, nbytes))
+        return [hdr + finalize_host(u[i], nbytes[i], 0, n_rst) + b"\xff\xd9"
                 for i in range(B)]
 
     outs = run_once()                        # compile + warm

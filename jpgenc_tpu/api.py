@@ -36,9 +36,9 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
     # stays on the device pipeline. The host word path below is a safety net
     # that no input should reach.
     w_blk_q = w_blk_for_quality(cfg.quality)
-    tiers = [scan_caps(layout, cfg.quality, "tight") + (w_blk_q,),
-             scan_caps(layout, cfg.quality, "safe") + (w_blk_q,),
-             scan_caps(layout, cfg.quality, "worst") + (56,)]
+    tiers = [(scan_caps(layout, cfg.quality, "tight")[0], w_blk_q),
+             (scan_caps(layout, cfg.quality, "safe")[0], w_blk_q),
+             (scan_caps(layout, cfg.quality, "worst")[0], 56)]
     tiers = [t for i, t in enumerate(tiers) if t not in tiers[:i]]
     if cfg.optimize_huffman:
         blocks = plan.blocks(img, qt_dev)
@@ -49,9 +49,8 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
         ac_tables = [build_codes(*optimize_tables(freq[1, t].astype(np.int64)))
                      for t in range(n_tabs)]
         luts = luts_from_tables(dc_tables, ac_tables)
-        for cap_u, cap_s, w_blk in tiers:
-            scan, ok = plan.entropy_scan_bytes(blocks, luts, cap_u, cap_s,
-                                               w_blk)
+        for cap_u, w_blk in tiers:
+            scan, ok = plan.entropy_scan_bytes(blocks, luts, cap_u, w_blk)
             if ok:
                 break
         if not ok:  # capacity overflow: host finalize on the full word buffer
@@ -60,9 +59,8 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        for cap_u, cap_s, w_blk in tiers:
-            scan, ok = plan.encode_scan_bytes(img, qt_dev, luts, cap_u, cap_s,
-                                              w_blk)
+        for cap_u, w_blk in tiers:
+            scan, ok = plan.encode_scan_bytes(img, qt_dev, luts, cap_u, w_blk)
             if ok:
                 break
         if not ok:

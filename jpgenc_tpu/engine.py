@@ -28,8 +28,8 @@ from jpgenc_tpu.layout import FrameLayout
 from jpgenc_tpu.ops import color as C
 from jpgenc_tpu.ops import transform as X
 from jpgenc_tpu.ops.entropy import EntropyLUTs, SymbolPlan, make_pieces, symbol_histogram
-from jpgenc_tpu.ops.pack import (MAX_BLOCK_BITS, block_pack, pack_segments,
-                                 segments_from_blocks, stuff_compact,
+from jpgenc_tpu.ops.pack import (MAX_BLOCK_BITS, block_pack, compact_unstuffed,
+                                 pack_segments, segments_from_blocks,
                                  w_blk_for_quality, words_per_segment)
 from jpgenc_tpu.ref.bitio import stuff_bytes
 
@@ -285,65 +285,61 @@ class DevicePlan:
         self._hist = _hist
         self._bytes_fns: dict[tuple, dict] = {}
 
-    def bytes_fns(self, cap_u: int, cap_s: int, w_blk: int) -> dict:
-        """Jitted pixels->stuffed-scan-bytes pipelines for given capacities.
+    def bytes_fns(self, cap_u: int, w_blk: int) -> dict:
+        """Jitted pixels->compact-unstuffed-scan pipelines for a capacity.
 
-        These keep the whole finalize on device (SURVEY.md hard part 1 +
-        component #16 moved on-device); only `cap_s` bytes ever cross the
-        device->host boundary instead of the worst-case packed-word buffer.
-        The pack runs block-granular with `w_blk` words per block; the last
-        returned value flags per-block overflow (invalid output -> caller
-        falls back to the worst-case per-slot path).
+        Only `cap_u` bytes ever cross the device->host boundary instead of
+        the worst-case packed-word buffer; the host then does the one piece
+        of work the BASELINE.json:5 contract keeps on host (FF00 stuffing +
+        RSTn joins, finalize_host). The pack runs block-granular with
+        `w_blk` words per block; the last returned value flags per-block
+        overflow (invalid output -> caller retries a bigger tier).
         """
-        key = (cap_u, cap_s, w_blk)
+        key = (cap_u, w_blk)
         if key not in self._bytes_fns:
             lay, n_seg = self.layout, self.n_seg
 
             @jax.jit
-            def _encode_bytes(img, qtabs, plan, scan_flat, luts, first_rst, n_rst):
+            def _encode_bytes(img, qtabs, plan, scan_flat, luts):
                 zz = pixels_to_scan(img, lay, qtabs)
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
-                return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
+                return compact_unstuffed(w, b, cap_u) + (ovf,)
 
             @jax.jit
-            def _entropy_bytes(blocks, plan, scan_flat, luts, first_rst, n_rst):
+            def _entropy_bytes(blocks, plan, scan_flat, luts):
                 zz = blocks_to_scan(blocks, scan_flat)
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
-                return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
+                return compact_unstuffed(w, b, cap_u) + (ovf,)
 
             self._bytes_fns[key] = {"encode": _encode_bytes,
                                     "entropy": _entropy_bytes}
         return self._bytes_fns[key]
 
-    def _finish_bytes(self, outs, cap_u, cap_s):
-        stuffed, out_len, raw_len, ovf = jax.device_get(outs)
-        if bool(ovf) or int(raw_len) > cap_u or int(out_len) > cap_s:
+    def _finish_bytes(self, outs, cap_u, first_rst, n_rst):
+        u, nbytes, ovf = jax.device_get(outs)
+        if bool(ovf) or int(nbytes.sum()) > cap_u:
             return b"", False
-        return stuffed[:int(out_len)].tobytes(), True
+        if n_rst < 0:
+            n_rst = len(nbytes) - 1
+        return finalize_host(u, nbytes, first_rst, n_rst), True
 
-    def encode_scan_bytes(self, img, qtabs, luts, cap_u: int, cap_s: int,
+    def encode_scan_bytes(self, img, qtabs, luts, cap_u: int,
                           w_blk: int, first_rst: int = 0, n_rst: int = -1):
         """Full device encode -> (scan bytes, ok). ok=False on any overflow.
 
         first_rst/n_rst override the RSTn numbering for stripe sub-images
         (n_rst=-1 selects the whole-image default of n_segments-1).
         """
-        fns = self.bytes_fns(cap_u, cap_s, w_blk)
-        if n_rst < 0:
-            n_rst = self.n_seg - 1
-        outs = fns["encode"](img, qtabs, self.plan, self.scan_flat, luts,
-                             jnp.int32(first_rst), jnp.int32(n_rst))
-        return self._finish_bytes(outs, cap_u, cap_s)
+        fns = self.bytes_fns(cap_u, w_blk)
+        outs = fns["encode"](img, qtabs, self.plan, self.scan_flat, luts)
+        return self._finish_bytes(outs, cap_u, first_rst, n_rst)
 
-    def entropy_scan_bytes(self, blocks, luts, cap_u: int, cap_s: int,
+    def entropy_scan_bytes(self, blocks, luts, cap_u: int,
                            w_blk: int, first_rst: int = 0, n_rst: int = -1):
         """Entropy-only device encode (pass 2 of optimize mode) -> bytes."""
-        fns = self.bytes_fns(cap_u, cap_s, w_blk)
-        if n_rst < 0:
-            n_rst = self.n_seg - 1
-        outs = fns["entropy"](blocks, self.plan, self.scan_flat, luts,
-                              jnp.int32(first_rst), jnp.int32(n_rst))
-        return self._finish_bytes(outs, cap_u, cap_s)
+        fns = self.bytes_fns(cap_u, w_blk)
+        outs = fns["entropy"](blocks, self.plan, self.scan_flat, luts)
+        return self._finish_bytes(outs, cap_u, first_rst, n_rst)
 
     # -- public ------------------------------------------------------------
 
@@ -371,8 +367,36 @@ def get_plan(layout: FrameLayout) -> DevicePlan:
 
 
 # ---------------------------------------------------------------------------
-# Host finalize: segments -> one stuffed scan with RSTn joins
+# Host finalize: the one host-side pass of the production path
 # ---------------------------------------------------------------------------
+
+def finalize_host(u: np.ndarray, nbytes: np.ndarray, first_rst: int,
+                  n_rst: int) -> bytes:
+    """Compact unstuffed segment bytes -> stuffed scan with RSTn joins.
+
+    The host half of ops.pack.compact_unstuffed: FF->FF00 stuffing plus RSTn
+    markers after the first `n_rst` segments, numbered from `first_rst`
+    (stripe concatenation passes the stripe's global first segment index —
+    SURVEY.md hard part 5). C++ (native.finalize_compact) with a vectorized
+    NumPy fallback.
+    """
+    from jpgenc_tpu import native
+    if native.available():
+        out = native.finalize_compact(u, nbytes, first_rst, n_rst)
+        if out is not None:
+            return out
+    parts = []
+    p = 0
+    for s, nb in enumerate(np.asarray(nbytes)):
+        nb = int(nb)
+        seg = u[p:p + nb]
+        p += nb
+        ff = np.flatnonzero(seg == 0xFF)
+        parts.append((np.insert(seg, ff + 1, 0) if ff.size else seg).tobytes())
+        if s < n_rst:
+            parts.append(bytes([0xFF, 0xD0 + ((first_rst + s) & 7)]))
+    return b"".join(parts)
+
 
 def segments_to_scan(seg_words: np.ndarray, seg_bits: np.ndarray,
                      first_rst: int = 0) -> bytes:

@@ -81,6 +81,10 @@ def _load_inner():
     lib.finalize_scan.argtypes = [
         u32p, i32p, ctypes.c_int, ctypes.c_int64, ctypes.c_int, u8p,
     ]
+    lib.finalize_compact.restype = ctypes.c_int64
+    lib.finalize_compact.argtypes = [
+        u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+    ]
     LIB = lib
     return lib
 
@@ -130,6 +134,20 @@ def decode_scan(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
     if rc != 0:
         raise ValueError(f"native scan decode failed (code {rc})")
     return out.reshape(n_total, 64)
+
+
+def finalize_compact(u: np.ndarray, seg_nbytes: np.ndarray,
+                     first_rst: int, n_rst: int) -> bytes | None:
+    """Compact unstuffed segment bytes -> stuffed scan with RSTn joins."""
+    lib = _load()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(u, np.uint8)
+    seg_nbytes = np.ascontiguousarray(seg_nbytes, np.int32)
+    n_seg = seg_nbytes.size
+    out = np.empty(2 * int(seg_nbytes.sum()) + 2 * n_seg + 2, np.uint8)
+    n = lib.finalize_compact(u, seg_nbytes, n_seg, first_rst, n_rst, out)
+    return out[:n].tobytes()
 
 
 def finalize_scan(seg_words: np.ndarray, seg_bits: np.ndarray,

@@ -234,6 +234,31 @@ int decode_scan(const uint8_t* data, int64_t data_len,
     return 0;
 }
 
+// Final host pass of the production pipeline (the one piece of host work the
+// capability contract keeps on host): the device downloads a COMPACT
+// unstuffed stream — per-segment byte runs (already 1-padded) packed
+// back-to-back without markers — and this inserts FF00 stuffing plus RSTn
+// joins at memcpy speed. u: concatenated segment bytes; seg_nbytes[s] bytes
+// per segment; RSTn after segment s for s < n_rst, numbered (first_rst+s)%8.
+// out must hold 2x total bytes + 2*n_seg. Returns output length.
+int64_t finalize_compact(const uint8_t* u, const int32_t* seg_nbytes,
+                         int n_seg, int first_rst, int n_rst,
+                         uint8_t* out) {
+    int64_t o = 0, p = 0;
+    for (int s = 0; s < n_seg; ++s) {
+        for (int32_t j = 0; j < seg_nbytes[s]; ++j) {
+            uint8_t b = u[p++];
+            out[o++] = b;
+            if (b == 0xFF) out[o++] = 0x00;
+        }
+        if (s < n_rst) {
+            out[o++] = 0xFF;
+            out[o++] = (uint8_t)(0xD0 + ((first_rst + s) & 7));
+        }
+    }
+    return o;
+}
+
 // FF->FF00 stuffing + per-segment assembly used by the host fallback path:
 // words: [n_seg * w] u32 (MSB-first), bits: [n_seg].
 // out must hold worst case (2x bytes + 2 per segment). Returns output length.

@@ -142,73 +142,57 @@ def segments_from_blocks(buf: jnp.ndarray, bits: jnp.ndarray,
     return out.reshape(n_seg, w_seg), seg_bits
 
 
-def stuff_compact(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
-                  first_rst: jnp.ndarray, n_rst: jnp.ndarray,
-                  cap_u: int, cap_s: int) -> tuple[jnp.ndarray, jnp.ndarray,
-                                                   jnp.ndarray]:
-    """Device-side scan finalize: segments -> one stuffed byte stream.
+def compact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
+                      cap_u: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side finalize: segments -> one COMPACT unstuffed byte stream.
 
-    Replaces the host finalize entirely (gather-only — no data-dependent
-    shapes, no scatter): slice each segment to ceil(bits/8) bytes, set the
-    1-bit padding (T.81 F.1.2.3), join segments with RSTn markers, and apply
-    FF->FF00 byte stuffing. The only remaining host work is slicing the
-    returned buffer to `out_len` and concatenating headers/EOI.
+    Each segment is sliced to ceil(bits/8) bytes with its 1-bit padding set
+    (T.81 F.1.2.3) and the runs are packed back-to-back WITHOUT restart
+    markers. FF->FF00 stuffing and RSTn insertion happen on host at memcpy
+    speed (native.finalize_compact) — exactly the "final byte-stuffing on
+    host" the BASELINE.json:5 contract keeps off-device. Compared to a
+    device-side stuffing pass this kills the output scatter and, for the
+    dominant single-segment (no-DRI) case, the per-byte gather too: the
+    stream is a STATIC byte-extract of the segment words.
 
     seg_words: [n_seg, W] u32 MSB-first; seg_bits: [n_seg] i32.
-    first_rst: i32 scalar — global index offset for RSTn numbering (stripe
-      concatenation passes the stripe's global first segment index).
-    n_rst: i32 scalar — how many RSTn markers to emit (n_seg-1 for a whole
-      image; n_seg when a stripe must also carry its trailing RSTn).
-    cap_u / cap_s: static capacities (pre-/post-stuffing bytes). Outputs are
-      only valid when raw_len <= cap_u and out_len <= cap_s; the caller
-      checks and falls back to the host path on overflow.
+    cap_u: static output capacity in bytes. Output is only valid when
+      sum(nbytes) <= cap_u — the caller checks on host and falls back to a
+      bigger tier on overflow.
 
-    Returns (stuffed [cap_s] u8, out_len i32, raw_len i32).
+    Returns (u [cap_u] u8, nbytes [n_seg] i32).
     """
     n_seg, w = seg_words.shape
     wb = 4 * w
-    nbytes = (seg_bits + 7) >> 3
+    nbytes = ((seg_bits + 7) >> 3).astype(_I32)
     pad_mask = ((1 << ((-seg_bits) & 7)) - 1).astype(_I32)
+    words_i = jax.lax.bitcast_convert_type(seg_words, _I32)
 
-    # --- unstuffed stream U with RSTn joins: per-segment extent =
-    # nbytes + 2 marker bytes for the first n_rst segments
-    has_rst = (jnp.arange(n_seg, dtype=_I32) < n_rst).astype(_I32)
-    sizes = nbytes + 2 * has_rst
-    base = jnp.cumsum(sizes) - sizes                  # exclusive
-    raw_len = base[-1] + sizes[-1]
+    if n_seg == 1:
+        # single segment: the stream IS the first cap_u bytes of the words —
+        # pure static slice + elementwise byte extract, no gather at all
+        k = min(cap_u, wb)
+        word = words_i[0, :-(-k // 4)]
+        sh = jnp.array([24, 16, 8, 0], _I32)
+        b = ((word[:, None] >> sh[None, :]) & 0xFF).reshape(-1)[:k]
+        if k < cap_u:
+            b = jnp.pad(b, (0, cap_u - k))
+        last = jnp.clip(nbytes[0] - 1, 0, cap_u - 1)
+        b = b.at[last].set(b[last] | pad_mask[0])
+        return b.astype(jnp.uint8), nbytes
 
+    # multi-segment (restart intervals): gather bytes through the segment map
+    base = jnp.cumsum(nbytes) - nbytes                # exclusive
     p = jnp.arange(cap_u, dtype=_I32)
     s = jnp.clip(jnp.searchsorted(base, p, side="right") - 1, 0, n_seg - 1)
     q = p - base[s]
-    in_stream = p < raw_len
-    in_data = (q < nbytes[s]) & in_stream
-    # gather WORDS and extract bytes arithmetically (gathering from a
-    # pre-expanded byte table would materialize 4x the segment buffer for
-    # cap_u worth of reads); apply the final byte's 1-padding in the same
-    # gathered domain
+    in_data = q < nbytes[s]
     qc = jnp.clip(q, 0, wb - 1)
-    word = jax.lax.bitcast_convert_type(seg_words, _I32).reshape(-1)[
-        s * w + (qc >> 2)]
-    data_byte = (word >> ((3 - (qc & 3)) * 8)) & 0xFF
-    data_byte = data_byte | jnp.where(q == nbytes[s] - 1, pad_mask[s], 0)
-    rst_num = 0xD0 + ((first_rst + s) & 7)
-    u = jnp.where(in_data, data_byte,
-                  jnp.where(in_stream & (q == nbytes[s]), 0xFF,
-                            jnp.where(in_stream, rst_num, 0)))
-
-    # --- FF->FF00 stuffing (entropy data only; marker FFs are never stuffed).
-    # pos_of_u is strictly increasing, so a sorted unique scatter places every
-    # byte; the gaps it leaves are exactly the stuffed 0x00 positions (the
-    # output buffer is zero-initialized). Positions past the stream scatter
-    # zeros beyond out_len, which the caller slices away.
-    ff = in_data & (u == 0xFF)
-    ffc = jnp.cumsum(ff.astype(_I32))
-    pos_of_u = p + (ffc - ff.astype(_I32))            # output index of U[p]
-    out_len = raw_len + jnp.sum(jnp.where(in_stream, ff.astype(_I32), 0))
-
-    out = jnp.zeros(cap_s, _I32).at[pos_of_u].set(
-        u, mode="drop", unique_indices=True, indices_are_sorted=True)
-    return out.astype(jnp.uint8), out_len, raw_len
+    word = words_i.reshape(-1)[s * w + (qc >> 2)]
+    byte = (word >> ((3 - (qc & 3)) * 8)) & 0xFF
+    byte = byte | jnp.where(q == nbytes[s] - 1, pad_mask[s], 0)
+    u = jnp.where(in_data, byte, 0)
+    return u.astype(jnp.uint8), nbytes
 
 
 def pack_segments(piece_val: jnp.ndarray, piece_len: jnp.ndarray,

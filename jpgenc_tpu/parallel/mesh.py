@@ -36,10 +36,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jpgenc_tpu.config import EncodeConfig, MeshConfig
 from jpgenc_tpu.container.jfif import build_headers
-from jpgenc_tpu.engine import (DevicePlan, get_plan, luts_from_tables,
-                               qtables_for_quality, scan_caps,
-                               scan_to_segments_blocked)
-from jpgenc_tpu.ops.pack import stuff_compact, w_blk_for_quality
+from jpgenc_tpu.engine import (DevicePlan, finalize_host, get_plan,
+                               luts_from_tables, qtables_for_quality,
+                               scan_caps, scan_to_segments_blocked)
+from jpgenc_tpu.ops.pack import compact_unstuffed, w_blk_for_quality
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import symbol_histogram
@@ -119,12 +119,12 @@ _BATCHED: dict[tuple, dict] = {}
 
 
 def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
-                 caps: tuple[int, int, int]) -> dict:
+                 caps: tuple[int, int]) -> dict:
     key = (id(plan), batch, tuple(d.id for d in mesh.devices.flat),
            mesh.axis_names, caps)
     if key in _BATCHED:
         return _BATCHED[key]
-    cap_u, cap_s, w_blk = caps
+    cap_u, w_blk = caps
     from jpgenc_tpu.engine import use_pallas_default
     use_pallas = use_pallas_default(list(mesh.devices.flat))
 
@@ -140,11 +140,11 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         zz = blocks_to_scan(blocks, scan_flat)
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
-    def _enc1_bytes(img, qtabs, splan, scan_flat, luts, first_rst, n_rst):
+    def _enc1_bytes(img, qtabs, splan, scan_flat, luts):
         zz = pixels_to_scan(img, lay, qtabs)
         w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
                                              use_pallas=use_pallas)
-        return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
+        return compact_unstuffed(w, b, cap_u) + (ovf,)
 
     def _blocks1(img, qtabs):
         return pixels_to_blocks(img, lay, qtabs)
@@ -156,24 +156,22 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         zz = blocks_to_scan(blocks, scan_flat)
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
-    def _entropy1_bytes(blocks, splan, scan_flat, luts, first_rst, n_rst):
+    def _entropy1_bytes(blocks, splan, scan_flat, luts):
         zz = blocks_to_scan(blocks, scan_flat)
         w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
                                              use_pallas=use_pallas)
-        return stuff_compact(w, b, first_rst, n_rst, cap_u, cap_s) + (ovf,)
+        return compact_unstuffed(w, b, cap_u) + (ovf,)
 
     nb = sum(c.n_blocks for c in lay.comps)
     sh_blk = NamedSharding(mesh, P(ax, None, None))
 
-    sh_rst = NamedSharding(mesh, P(ax))
     fns = {
         "encode": jax.jit(
             jax.vmap(_enc1, in_axes=(0, None, None, None, None)),
             in_shardings=(sh_img, rep, rep, rep, rep)),
-        # device finalize: per-item first_rst/n_rst (stripe numbering)
         "encode_bytes": jax.jit(
-            jax.vmap(_enc1_bytes, in_axes=(0, None, None, None, None, 0, 0)),
-            in_shardings=(sh_img, rep, rep, rep, rep, sh_rst, sh_rst)),
+            jax.vmap(_enc1_bytes, in_axes=(0, None, None, None, None)),
+            in_shardings=(sh_img, rep, rep, rep, rep)),
         "blocks": jax.jit(
             jax.vmap(_blocks1, in_axes=(0, None)),
             in_shardings=(sh_img, rep)),
@@ -182,15 +180,15 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
             jax.vmap(_entropy1, in_axes=(0, None, None, 0)),
             in_shardings=(sh_blk, rep, rep, sh_blk)),
         "entropy_bytes_perimg": jax.jit(
-            jax.vmap(_entropy1_bytes, in_axes=(0, None, None, 0, 0, 0)),
-            in_shardings=(sh_blk, rep, rep, sh_blk, sh_rst, sh_rst)),
+            jax.vmap(_entropy1_bytes, in_axes=(0, None, None, 0)),
+            in_shardings=(sh_blk, rep, rep, sh_blk)),
         # shared LUTs (striped single image): replicated tables
         "entropy_shared": jax.jit(
             jax.vmap(_entropy1, in_axes=(0, None, None, None)),
             in_shardings=(sh_blk, rep, rep, rep)),
         "entropy_bytes_shared": jax.jit(
-            jax.vmap(_entropy1_bytes, in_axes=(0, None, None, None, 0, 0)),
-            in_shardings=(sh_blk, rep, rep, rep, sh_rst, sh_rst)),
+            jax.vmap(_entropy1_bytes, in_axes=(0, None, None, None)),
+            in_shardings=(sh_blk, rep, rep, rep)),
         "hist": jax.jit(
             jax.vmap(_hist1, in_axes=(0, None, None)),
             in_shardings=(sh_blk, rep, rep)),
@@ -239,14 +237,11 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     mode = "gray" if imgs.ndim == 3 else cfg.subsampling
     layout = make_layout(imgs.shape[1], imgs.shape[2], mode, cfg.restart_interval)
     plan = get_plan(layout)
-    cap_u, cap_s = scan_caps(layout, cfg.quality, "tight")
-    caps = (cap_u, cap_s, w_blk_for_quality(cfg.quality))
+    caps = (scan_caps(layout, cfg.quality, "tight")[0],
+            w_blk_for_quality(cfg.quality))
     fns = _batched_fns(plan, imgs.shape[0], mesh, caps)
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
     imgs_dev = jax.device_put(imgs, fns["sharding_img"])
-    bp = imgs.shape[0]
-    first_rst = jnp.zeros(bp, jnp.int32)
-    n_rst = jnp.full(bp, layout.n_segments - 1, jnp.int32)
 
     n_tabs = 1 if layout.is_gray else 2
     if cfg.optimize_huffman:
@@ -262,47 +257,47 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
         per_img_tables += [per_img_tables[b - 1]] * pad  # padding rows
         luts_list = [luts_from_tables(dc, ac) for dc, ac in per_img_tables]
         luts_b = jax.tree.map(lambda *xs: jnp.stack(xs), *luts_list)
-        stuffed, out_len, raw_len, ovf = fns["entropy_bytes_perimg"](
-            blocks, plan.plan, plan.scan_flat, luts_b, first_rst, n_rst)
+        u, nbytes, ovf = fns["entropy_bytes_perimg"](
+            blocks, plan.plan, plan.scan_flat, luts_b)
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
         blocks = None
-        stuffed, out_len, raw_len, ovf = fns["encode_bytes"](
-            imgs_dev, qt_dev, plan.plan, plan.scan_flat, luts,
-            first_rst, n_rst)
+        u, nbytes, ovf = fns["encode_bytes"](
+            imgs_dev, qt_dev, plan.plan, plan.scan_flat, luts)
 
     # per-process assembly over addressable shards only (multi-host safe),
     # then host-side exchange so every process returns the full result list
-    rows = _local_rows(stuffed, out_len, raw_len, ovf)
+    rows = _local_rows(u, nbytes, ovf)
     blocks_rows = None
     local: dict[int, bytes] = {}
     for i in sorted(rows):
         if i >= b:
             continue  # batch padding
-        st, ol, rl, ov = rows[i]
+        ui, nb, ov = rows[i]
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
         hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
-        if bool(ov) or int(rl) > caps[0] or int(ol) > caps[1]:
+        if bool(ov) or int(nb.sum()) > caps[0]:
             # rare (noise-like content overflowing the tight tier): re-run
             # only the device finalize for this image at the never-overflowing
             # worst tier, on this process's own devices — the batch stays on
             # the device pipeline (no host word path)
-            cap_u3, cap_s3 = scan_caps(layout, cfg.quality, "worst")
+            cap_u3 = scan_caps(layout, cfg.quality, "worst")[0]
             if cfg.optimize_huffman:
                 if blocks_rows is None:
                     blocks_rows = _local_rows(blocks)
                 luts_i = luts_from_tables(dc_tables, ac_tables)
                 scan, ok = plan.entropy_scan_bytes(blocks_rows[i][0], luts_i,
-                                                   cap_u3, cap_s3, 56)
+                                                   cap_u3, 56)
             else:
                 scan, ok = plan.encode_scan_bytes(np.asarray(imgs[i]), qt_dev,
-                                                  luts, cap_u3, cap_s3, 56)
+                                                  luts, cap_u3, 56)
             assert ok, "worst-tier device finalize cannot overflow"
             local[i] = hdr + scan + b"\xff\xd9"
         else:
-            local[i] = hdr + st[:int(ol)].tobytes() + b"\xff\xd9"
+            local[i] = (hdr + finalize_host(ui, nb, 0, len(nb) - 1)
+                        + b"\xff\xd9")
     full = _exchange_rows(local)
     return [full[i] for i in range(b)]
 
@@ -367,20 +362,13 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
 
     stripe_layout = make_layout(stripes.shape[1], pw, mode, r)
     plan = get_plan(stripe_layout)
-    cap_u, cap_s = scan_caps(stripe_layout, quality, "tight")
-    caps = (cap_u, cap_s, w_blk_for_quality(quality))
+    caps = (scan_caps(stripe_layout, quality, "tight")[0],
+            w_blk_for_quality(quality))
     fns = _batched_fns(plan, n_stripes, mesh, caps)
     qt_host, qt_dev = qtables_for_quality(quality)
     stripes_dev = jax.device_put(stripes, fns["sharding_img"])
     n_tabs = 1 if stripe_layout.is_gray else 2
-
-    # device finalize per stripe: RSTn numbering counts the GLOBAL segment
-    # index, and every stripe but the last carries its trailing RSTn
-    # (SURVEY.md hard part 5)
     segs_per_stripe = stripe_layout.n_segments
-    first_rst = jnp.arange(n_stripes, dtype=jnp.int32) * segs_per_stripe
-    n_rst = jnp.where(jnp.arange(n_stripes) < n_stripes - 1,
-                      segs_per_stripe, segs_per_stripe - 1).astype(jnp.int32)
 
     if optimize:
         blocks = fns["blocks"](stripes_dev, qt_dev)
@@ -388,45 +376,44 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
         freq = np.asarray(fns["hist_sum"](blocks, plan.plan, plan.scan_flat))
         dc_tables, ac_tables = _build_tables_from_freq(freq, n_tabs)
         luts = luts_from_tables(dc_tables, ac_tables)
-        stuffed, out_len, raw_len, ovf = fns["entropy_bytes_shared"](
-            blocks, plan.plan, plan.scan_flat, luts, first_rst, n_rst)
+        u, nbytes, ovf = fns["entropy_bytes_shared"](
+            blocks, plan.plan, plan.scan_flat, luts)
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
         blocks = None
-        stuffed, out_len, raw_len, ovf = fns["encode_bytes"](
-            stripes_dev, qt_dev, plan.plan, plan.scan_flat, luts,
-            first_rst, n_rst)
+        u, nbytes, ovf = fns["encode_bytes"](
+            stripes_dev, qt_dev, plan.plan, plan.scan_flat, luts)
 
-    # per-process assembly: each host slices its own stripes' stuffed bytes
-    # (addressable shards only — multi-host safe), then the per-stripe blobs
-    # are exchanged over DCN and concatenated into ONE scan on every process
-    # (SURVEY.md hard part 5 / call stack 4.5)
-    rows = _local_rows(stuffed, out_len, raw_len, ovf)
+    # per-process assembly: each host finalizes its own stripes' bytes with
+    # GLOBAL RSTn numbering (addressable shards only — multi-host safe), then
+    # the per-stripe blobs are exchanged over DCN and concatenated into ONE
+    # scan on every process (SURVEY.md hard part 5 / call stack 4.5)
+    rows = _local_rows(u, nbytes, ovf)
     blocks_rows = None
     local: dict[int, bytes] = {}
     for s in sorted(rows):
-        st, ol, rl, ov = rows[s]
+        us, nb, ov = rows[s]
         g0 = s * segs_per_stripe
         n_rst_s = segs_per_stripe if s < n_stripes - 1 else segs_per_stripe - 1
-        if bool(ov) or int(rl) > caps[0] or int(ol) > caps[1]:
+        if bool(ov) or int(nb.sum()) > caps[0]:
             # rare: redo only this stripe's device finalize at the
             # never-overflowing worst tier on this process's devices
-            cap_u3, cap_s3 = scan_caps(stripe_layout, quality, "worst")
+            cap_u3 = scan_caps(stripe_layout, quality, "worst")[0]
             if optimize:
                 if blocks_rows is None:
                     blocks_rows = _local_rows(blocks)
                 part, ok = plan.entropy_scan_bytes(
-                    blocks_rows[s][0], luts, cap_u3, cap_s3, 56,
+                    blocks_rows[s][0], luts, cap_u3, 56,
                     first_rst=g0, n_rst=n_rst_s)
             else:
                 part, ok = plan.encode_scan_bytes(
-                    stripes[s], qt_dev, luts, cap_u3, cap_s3, 56,
+                    stripes[s], qt_dev, luts, cap_u3, 56,
                     first_rst=g0, n_rst=n_rst_s)
             assert ok, "worst-tier device finalize cannot overflow"
             local[s] = part
         else:
-            local[s] = st[:int(ol)].tobytes()
+            local[s] = finalize_host(us, nb, g0, n_rst_s)
     full = _exchange_rows(local)
     scan = b"".join(full[s] for s in range(n_stripes))
 

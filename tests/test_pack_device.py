@@ -1,19 +1,21 @@
-"""Device-side finalize (ops.pack.stuff_compact) vs the host reference path.
+"""Device compact finalize (ops.pack.compact_unstuffed + engine.finalize_host)
+vs the host reference path.
 
-The device path must produce byte-identical scans to engine.segments_to_scan
-(slice + 1-pad + FF00 stuffing + RSTn joins) for every config, and must flag
-capacity overflow instead of emitting a truncated stream.
+The production finalize — device emits a compact UNSTUFFED stream, host does
+FF00 stuffing + RSTn joins (the one host pass the BASELINE.json:5 contract
+keeps off-device) — must produce byte-identical scans to
+engine.segments_to_scan for every config, and must flag capacity overflow
+instead of emitting a truncated stream.
 """
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from jpgenc_tpu.api import encode
-from jpgenc_tpu.engine import (get_plan, luts_from_tables, qtables_for_quality,
-                               scan_caps, segments_to_scan)
+from jpgenc_tpu.engine import (finalize_host, get_plan, luts_from_tables,
+                               qtables_for_quality, scan_caps,
+                               segments_to_scan)
 from jpgenc_tpu.layout import make_layout
-from jpgenc_tpu.ops.pack import stuff_compact
-from jpgenc_tpu.ref.encoder import encode as ref_encode
+from jpgenc_tpu.ops.pack import compact_unstuffed
 from jpgenc_tpu.ref.encoder import standard_tables
 
 
@@ -23,59 +25,70 @@ def _device_scan(layout, img, quality, first_rst=0, n_rst=None):
     dc_t, ac_t = standard_tables()
     luts = luts_from_tables(dc_t, ac_t)
     seg_w, seg_b = plan.encode_segments(img, qt, luts)
-    cap_u, cap_s = scan_caps(layout, quality)
+    cap_u = scan_caps(layout, quality)[0]
     if n_rst is None:
         n_rst = layout.n_segments - 1
-    stuffed, out_len, raw_len = stuff_compact(
-        seg_w, seg_b, jnp.int32(first_rst), jnp.int32(n_rst), cap_u, cap_s)
-    assert int(raw_len) <= cap_u and int(out_len) <= cap_s
-    dev = np.asarray(stuffed)[:int(out_len)].tobytes()
+    u, nbytes = compact_unstuffed(seg_w, seg_b, cap_u)
+    u, nbytes = np.asarray(u), np.asarray(nbytes)
+    assert int(nbytes.sum()) <= cap_u
+    dev = finalize_host(u, nbytes, first_rst, n_rst)
     host = segments_to_scan(np.asarray(seg_w), np.asarray(seg_b),
                             first_rst=first_rst)
-    return dev, host, (np.asarray(seg_w), np.asarray(seg_b))
+    return dev, host, (u, nbytes)
 
 
 @pytest.mark.parametrize("restart", [0, 3, 7])
-def test_stuff_compact_matches_host(gray_image, restart):
+def test_compact_finalize_matches_host(gray_image, restart):
     layout = make_layout(*gray_image.shape, "gray", restart)
     dev, host, _ = _device_scan(layout, gray_image, 75)
     assert dev == host
 
 
 @pytest.mark.parametrize("quality", [10, 75, 95])
-def test_stuff_compact_color(rgb_image, quality):
+def test_compact_finalize_color(rgb_image, quality):
     layout = make_layout(rgb_image.shape[0], rgb_image.shape[1], "420", 5)
     dev, host, _ = _device_scan(layout, rgb_image, quality)
     assert dev == host
 
 
-def test_stuff_compact_stripe_numbering(gray_image):
+def test_compact_finalize_stripe_numbering(gray_image):
     """first_rst offsets RSTn numbering; n_rst=n_seg adds the trailing RSTn."""
     layout = make_layout(*gray_image.shape, "gray", 4)
     n_seg = layout.n_segments
-    dev, host, (seg_w, seg_b) = _device_scan(
-        layout, gray_image, 75, first_rst=5, n_rst=n_seg)
+    dev, host, _ = _device_scan(layout, gray_image, 75, first_rst=5,
+                                n_rst=n_seg)
     # host path emits no trailing RSTn: append it manually for comparison
     host += bytes([0xFF, 0xD0 + ((5 + n_seg - 1) % 8)])
     assert dev == host
 
 
-def test_stuff_compact_overflow_flagged(gray_image):
+def test_finalize_host_np_fallback_matches_native(gray_image, monkeypatch):
+    """The NumPy fallback stuffing must equal the C++ finalize_compact."""
+    from jpgenc_tpu import native
+    if not native.available():
+        pytest.skip("native tier unavailable")
+    layout = make_layout(*gray_image.shape, "gray", 4)
+    _, _, (u, nbytes) = _device_scan(layout, gray_image, 75)
+    want = finalize_host(u, nbytes, 2, len(nbytes))
+    monkeypatch.setattr(native, "available", lambda: False)
+    got = finalize_host(u, nbytes, 2, len(nbytes))
+    assert got == want
+
+
+def test_compact_overflow_flagged(gray_image):
     layout = make_layout(*gray_image.shape, "gray", 0)
     plan = get_plan(layout)
     _, qt = qtables_for_quality(75)
     dc_t, ac_t = standard_tables()
     luts = luts_from_tables(dc_t, ac_t)
     seg_w, seg_b = plan.encode_segments(gray_image, qt, luts)
-    cap_u, cap_s = 1024, 1024 + 64   # far too small
-    _, out_len, raw_len = stuff_compact(
-        seg_w, seg_b, jnp.int32(0), jnp.int32(layout.n_segments - 1),
-        cap_u, cap_s)
-    assert int(raw_len) > cap_u
+    cap_u = 1024   # far too small
+    _, nbytes = compact_unstuffed(seg_w, seg_b, cap_u)
+    assert int(np.asarray(nbytes).sum()) > cap_u
 
 
 def test_api_encode_unchanged_by_device_finalize(gray_image):
-    """api.encode (device finalize) == the previous host-finalize assembly."""
+    """api.encode (compact finalize) == the reference host-finalize assembly."""
     ours = encode(gray_image, quality=75)
     layout = make_layout(*gray_image.shape, "gray", 0)
     plan = get_plan(layout)
