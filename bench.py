@@ -42,8 +42,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from jpgenc_tpu.container.jfif import build_headers
-    from jpgenc_tpu.engine import (finalize_host, get_plan, luts_from_tables,
-                                   qtables_for_quality, scan_caps)
+    from jpgenc_tpu.engine import (fetch_prefix, finalize_host, get_plan,
+                                   luts_from_tables, qtables_for_quality,
+                                   scan_caps)
     from jpgenc_tpu.layout import make_layout
     from jpgenc_tpu.parallel.mesh import encode_batch
     from jpgenc_tpu.ref.encoder import standard_tables
@@ -70,8 +71,9 @@ def main() -> None:
     def run_once():
         u, nbytes, ovf = fns["encode_bytes"](
             frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
-        u, nbytes = jax.device_get((u, nbytes))
-        return [hdr + finalize_host(u[i], nbytes[i], 0, n_rst) + b"\xff\xd9"
+        nbytes = jax.device_get(nbytes)
+        up = fetch_prefix(u, int(nbytes.sum(axis=1).max()))
+        return [hdr + finalize_host(up[i], nbytes[i], 0, n_rst) + b"\xff\xd9"
                 for i in range(B)]
 
     outs = run_once()                        # compile + warm

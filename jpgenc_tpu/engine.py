@@ -199,6 +199,20 @@ def scan_to_segments(zz_scan: jnp.ndarray, plan: SymbolPlan, luts: EntropyLUTs,
     return pack_segments(pv, pl, n_seg, words)
 
 
+def pixels_to_scan_auto(img: jnp.ndarray, layout: FrameLayout,
+                        qtabs: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    """pixels_to_scan, via the fused Pallas K1 kernel on TPU (all modes) and
+    the jnp path elsewhere. Quantized outputs agree exactly on real content
+    (see ops/pallas/k1_dct.py numerics note); each backend uses one path
+    consistently, so files never mix formulations. The kernel's grid streams
+    MCU tiles through VMEM, so it also covers the large-image case the jnp
+    path handles with band scanning."""
+    if use_pallas:
+        from jpgenc_tpu.ops.pallas.k1_dct import fused_pixels_to_scan
+        return fused_pixels_to_scan(img, layout, qtabs)
+    return pixels_to_scan(img, layout, qtabs)
+
+
 def use_pallas_default(devices=None) -> bool:
     """The fused Pallas kernel is the production path on TPU; the jnp path
     (bit-identical, tested) serves CPU and acts as the safety fallback.
@@ -298,10 +312,11 @@ class DevicePlan:
         key = (cap_u, w_blk)
         if key not in self._bytes_fns:
             lay, n_seg = self.layout, self.n_seg
+            use_pallas = use_pallas_default()
 
             @jax.jit
             def _encode_bytes(img, qtabs, plan, scan_flat, luts):
-                zz = pixels_to_scan(img, lay, qtabs)
+                zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
                 return compact_unstuffed(w, b, cap_u) + (ovf,)
 
@@ -316,12 +331,15 @@ class DevicePlan:
         return self._bytes_fns[key]
 
     def _finish_bytes(self, outs, cap_u, first_rst, n_rst):
-        u, nbytes, ovf = jax.device_get(outs)
-        if bool(ovf) or int(nbytes.sum()) > cap_u:
+        u_dev, nbytes_dev, ovf_dev = outs
+        nbytes, ovf = jax.device_get((nbytes_dev, ovf_dev))
+        total = int(nbytes.sum())
+        if bool(ovf) or total > cap_u:
             return b"", False
         if n_rst < 0:
             n_rst = len(nbytes) - 1
-        return finalize_host(u, nbytes, first_rst, n_rst), True
+        return finalize_host(fetch_prefix(u_dev, total), nbytes,
+                             first_rst, n_rst), True
 
     def encode_scan_bytes(self, img, qtabs, luts, cap_u: int,
                           w_blk: int, first_rst: int = 0, n_rst: int = -1):
@@ -369,6 +387,19 @@ def get_plan(layout: FrameLayout) -> DevicePlan:
 # ---------------------------------------------------------------------------
 # Host finalize: the one host-side pass of the production path
 # ---------------------------------------------------------------------------
+
+def fetch_prefix(u_dev, total: int) -> np.ndarray:
+    """Transfer only a prefix covering `total` bytes of a device byte stream
+    (last axis). The capacity buffer is mostly empty at typical bitrates, and
+    the device->host link is the scarce resource; the prefix length is
+    rounded up to a power of two so the handful of slice executables stays
+    compile-cached (fresh compiles cost ~80 s on this platform)."""
+    cap = u_dev.shape[-1]
+    if total >= cap:
+        return np.asarray(u_dev)
+    k = min(cap, max(1 << max(0, (total - 1).bit_length()), 4096))
+    return np.asarray(u_dev[..., :k])
+
 
 def finalize_host(u: np.ndarray, nbytes: np.ndarray, first_rst: int,
                   n_rst: int) -> bytes:

@@ -1,0 +1,206 @@
+"""Pallas TPU kernel K1: pixels -> quantized zigzag blocks in scan order.
+
+One kernel pass fuses the whole transform stage (SURVEY.md components #4-#8,
+call stack 4.1/4.2 hot loop 1): u8 RGB -> YCbCr -> chroma subsample -> level
+shift -> 8x8 FDCT -> quantize -> zigzag, with every intermediate in VMEM.
+The XLA prologue only repacks bytes (pure layout): each MCU's pixels become
+one row [3 * nb * 64] u8 (channel-major, Y-block order, row-major pixels),
+so the kernel sees MXU-friendly [T, L] tiles and emits scan-ordered
+[T, (nb+2)*64] zigzag coefficients directly — no gathers, no transposes.
+
+The DCT/quant/zigzag is a single matmul per component against precomputed
+operators (same _KDCT_ZZ construction as ops.transform, with the quant
+reciprocal folded into the columns at trace time):
+
+  Y:  [T, nb*64] @ blockdiag_nb(KDCT/q_y)      (nb = luma blocks per MCU)
+  C:  [T, nb*64] @ (S_sub @ (KDCT/q_c))        (box-mean subsample folded in)
+
+Numerics note: the fused operators reassociate float32 ops relative to the
+jnp path (subsample-mean folded into the DCT matmul; MXU accumulation
+order). Quantized INTEGER outputs agree exactly on real content — a
+disagreement would need a coefficient to land within an ulp of a rounding
+boundary; tests assert exact equality on the standard fixtures and the
+production paths never mix backends within one file.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jpgenc_tpu import tables as T
+from jpgenc_tpu.layout import FrameLayout
+from jpgenc_tpu.ops.transform import _KDCT_ZZ, round_half_away
+
+_F32 = jnp.float32
+TILE_MCU = 128      # MCUs per grid step
+
+
+# ---------------------------------------------------------------------------
+# Host-side operator builders (cached per layout mode)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _subsample_matrix(nb: int, hs: int, vs: int) -> np.ndarray:
+    """[nb*64, 64] box-mean matrix: full-res chroma pixels (Y-block layout)
+    -> 8x8 subsampled chroma block (row-major), weights 1/(hs*vs)."""
+    s = np.zeros((nb * 64, 64), np.float32)
+    bw = 8 * hs    # MCU pixel width
+    for i in range(8):
+        for j in range(8):
+            for di in range(vs):
+                for dj in range(hs):
+                    p, q = vs * i + di, hs * j + dj       # luma-grid pixel
+                    v, h = p // 8, q // 8                 # luma block coords
+                    blk = v * hs + h                      # row-major block id
+                    lane = blk * 64 + (p % 8) * 8 + (q % 8)
+                    s[lane, 8 * i + j] = 1.0 / (hs * vs)
+    return s
+
+
+def build_operators(layout: FrameLayout, qtabs: jnp.ndarray):
+    """Trace-time fused operators for one layout (qtabs [2, 64] natural).
+
+    Returns (bd_y [nb*64, nb*64], sc [nb*64, 64], q_out [1, (nb+2)*64]) f32:
+    DCT+zigzag for luma (block-diagonal over the MCU's nb blocks),
+    subsample+DCT+zigzag for chroma, and the per-output-lane quant divisors.
+    The divide stays a separate in-kernel op (matching the jnp path's order —
+    folding 1/q into the operator columns moves knife-edge coefficients
+    across the round-half-away boundary)."""
+    c0 = layout.comps[0]
+    nb = c0.hs * c0.vs
+    zz = np.asarray(T.ZIGZAG)
+    k = jnp.asarray(_KDCT_ZZ)                       # [64, 64]
+    q_y = qtabs[0].reshape(64).astype(_F32)[zz]
+    q_c = qtabs[1].reshape(64).astype(_F32)[zz]
+    eye = jnp.asarray(np.eye(nb, dtype=np.float32))
+    bd_y = jnp.kron(eye, k)                         # [nb*64, nb*64]
+    sc = jnp.asarray(_subsample_matrix(nb, c0.hs, c0.vs)) @ k
+    q_out = jnp.concatenate([jnp.tile(q_y, nb), q_c, q_c]).reshape(1, -1)
+    return bd_y, sc, q_out
+
+
+def mcu_pack(img_padded: jnp.ndarray, layout: FrameLayout) -> jnp.ndarray:
+    """Padded [Hp, Wp, 3] u8 -> [n_mcu, 3*nb*64] u8 (pure layout ops).
+
+    Per MCU row: channels major, luma blocks in row-major (v, h) order,
+    pixels row-major — the layout build_operators' matrices assume.
+    """
+    c0 = layout.comps[0]
+    hs, vs = c0.hs, c0.vs
+    my, mx = layout.mcus_y, layout.mcus_x
+    x = img_padded.reshape(my, vs, 8, mx, hs, 8, 3)
+    x = x.transpose(0, 3, 6, 1, 4, 2, 5)            # [my,mx,3,v,h,py,px]
+    return x.reshape(my * mx, 3 * vs * hs * 64)
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+def _color_kernel(x_ref, bdy_ref, sc_ref, q_ref, out_ref, *, nb: int):
+    # Mosaic (axon) has no direct u8->f32 cast: hop through i32
+    x = x_ref[:].astype(jnp.int32)                  # [T, 3*nb*64]
+    n = nb * 64
+    r = x[:, 0 * n:1 * n].astype(_F32)
+    g = x[:, 1 * n:2 * n].astype(_F32)
+    b = x[:, 2 * n:3 * n].astype(_F32)
+    # BT.601 full-range with the level shift folded into the constants:
+    # y-128, and (cb|cr)+128-128 = 0 (ops/color.py numerics)
+    y = _F32(0.299) * r + _F32(0.587) * g + _F32(0.114) * b - _F32(128.0)
+    cb = _F32(-0.168735892) * r + _F32(-0.331264108) * g + _F32(0.5) * b
+    cr = _F32(0.5) * r + _F32(-0.418687589) * g + _F32(-0.081312411) * b
+    hp = jax.lax.Precision.HIGHEST
+    y_zz = jnp.dot(y, bdy_ref[:], precision=hp)     # [T, nb*64]
+    cb_zz = jnp.dot(cb, sc_ref[:], precision=hp)    # [T, 64]
+    cr_zz = jnp.dot(cr, sc_ref[:], precision=hp)
+    out = jnp.concatenate([y_zz, cb_zz, cr_zz], axis=1) / q_ref[:]
+    out_ref[:] = round_half_away(out).astype(jnp.int32)
+
+
+def _gray_kernel(x_ref, k_ref, q_ref, out_ref):
+    x = x_ref[:].astype(jnp.int32).astype(_F32) - _F32(128.0)   # [T, 64]
+    out = jnp.dot(x, k_ref[:], precision=jax.lax.Precision.HIGHEST)
+    out_ref[:] = round_half_away(out / q_ref[:]).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+def _pad_rows(x: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
+    n = x.shape[0]
+    n_pad = -(-n // mult) * mult
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    return x, n_pad
+
+
+def fused_pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
+                         qtabs: jnp.ndarray,
+                         interpret: bool = False) -> jnp.ndarray:
+    """u8 image -> [n_seg * blocks_per_segment, 64] i32 zigzag blocks in
+    interleaved scan order — the Pallas form of engine.pixels_to_scan.
+    Supports every mode ('gray'/'444'/'422'/'420')."""
+    from jpgenc_tpu.ops import color as C
+
+    s_pad = layout.n_segments * layout.blocks_per_segment
+    c0 = layout.comps[0]
+    padded = C.pad_replicate(img, c0.plane_h, c0.plane_w)
+
+    if layout.is_gray:
+        zz = np.asarray(T.ZIGZAG)
+        k = jnp.asarray(_KDCT_ZZ)
+        q = qtabs[0].reshape(64).astype(_F32)[zz].reshape(1, 64)
+        h, w = c0.plane_h, c0.plane_w
+        blocks = (padded.reshape(h // 8, 8, w // 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 64))
+        x, n_pad = _pad_rows(blocks, TILE_MCU)      # u8 straight into VMEM
+        grid = n_pad // TILE_MCU
+        out = pl.pallas_call(
+            _gray_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((TILE_MCU, 64), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_MCU, 64), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 64), jnp.int32),
+            interpret=interpret,
+        )(x, k, q)
+        zzb = out[:blocks.shape[0]]
+    else:
+        nb = c0.hs * c0.vs
+        bd_y, sc, q_out = build_operators(layout, qtabs)
+        mcus = mcu_pack(padded, layout)             # [n_mcu, 3*nb*64] u8
+        x, n_pad = _pad_rows(mcus, TILE_MCU)        # u8 straight into VMEM
+        grid = n_pad // TILE_MCU
+        l_in = 3 * nb * 64
+        l_out = (nb + 2) * 64
+        out = pl.pallas_call(
+            functools.partial(_color_kernel, nb=nb),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((TILE_MCU, l_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_MCU, l_out), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_pad, l_out), jnp.int32),
+            interpret=interpret,
+        )(x, bd_y, sc, q_out)
+        # [n_mcu, (nb+2)*64] IS the interleaved scan order: trailing reshape
+        zzb = out[:mcus.shape[0]].reshape(-1, 64)
+    if s_pad > zzb.shape[0]:
+        zzb = jnp.pad(zzb, ((0, s_pad - zzb.shape[0]), (0, 0)))
+    return zzb

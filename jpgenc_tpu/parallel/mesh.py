@@ -44,7 +44,7 @@ from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import symbol_histogram
 from jpgenc_tpu.engine import (blocks_to_scan, pixels_to_blocks,
-                               pixels_to_scan, scan_to_segments)
+                               pixels_to_scan_auto, scan_to_segments)
 from jpgenc_tpu.ref.encoder import standard_tables
 
 
@@ -98,6 +98,24 @@ def _local_rows(*arrays) -> dict[int, tuple]:
     return rows
 
 
+def _local_rows_prefix(u, totals: dict[int, int]) -> dict[int, np.ndarray]:
+    """Locally-addressable rows of a batch-sharded byte-stream array,
+    transferring only a per-shard prefix covering the rows' real lengths —
+    the device->host link is the scarce resource and the capacity buffer is
+    mostly empty at typical bitrates (engine.fetch_prefix)."""
+    from jpgenc_tpu.engine import fetch_prefix
+    rows: dict[int, np.ndarray] = {}
+    for sh in u.addressable_shards:
+        sl = sh.index[0] if sh.index else slice(None)
+        start = sl.start or 0
+        n = sh.data.shape[0]
+        t = max((totals.get(start + j, 0) for j in range(n)), default=0)
+        data = fetch_prefix(sh.data, t)
+        for j in range(n):
+            rows.setdefault(start + j, data[j])
+    return rows
+
+
 def _exchange_rows(rows: dict[int, bytes]) -> dict[int, bytes]:
     """All-gather per-row host byte blobs across processes (DCN, host side)."""
     from jpgenc_tpu.parallel import multihost
@@ -141,7 +159,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
     def _enc1_bytes(img, qtabs, splan, scan_flat, luts):
-        zz = pixels_to_scan(img, lay, qtabs)
+        zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
         w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
                                              use_pallas=use_pallas)
         return compact_unstuffed(w, b, cap_u) + (ovf,)
@@ -268,13 +286,16 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
 
     # per-process assembly over addressable shards only (multi-host safe),
     # then host-side exchange so every process returns the full result list
-    rows = _local_rows(u, nbytes, ovf)
+    rows = _local_rows(nbytes, ovf)
+    u_rows = _local_rows_prefix(
+        u, {i: min(int(r[0].sum()), caps[0]) for i, r in rows.items()})
     blocks_rows = None
     local: dict[int, bytes] = {}
     for i in sorted(rows):
         if i >= b:
             continue  # batch padding
-        ui, nb, ov = rows[i]
+        nb, ov = rows[i]
+        ui = u_rows[i]
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
         hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
@@ -389,11 +410,14 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     # GLOBAL RSTn numbering (addressable shards only — multi-host safe), then
     # the per-stripe blobs are exchanged over DCN and concatenated into ONE
     # scan on every process (SURVEY.md hard part 5 / call stack 4.5)
-    rows = _local_rows(u, nbytes, ovf)
+    rows = _local_rows(nbytes, ovf)
+    u_rows = _local_rows_prefix(
+        u, {s: min(int(r[0].sum()), caps[0]) for s, r in rows.items()})
     blocks_rows = None
     local: dict[int, bytes] = {}
     for s in sorted(rows):
-        us, nb, ov = rows[s]
+        nb, ov = rows[s]
+        us = u_rows[s]
         g0 = s * segs_per_stripe
         n_rst_s = segs_per_stripe if s < n_stripes - 1 else segs_per_stripe - 1
         if bool(ov) or int(nb.sum()) > caps[0]:

@@ -11,16 +11,26 @@ import sys
 # JAX_PLATFORMS=axon for the single real TPU chip; tests must not use it).
 # NOTE: on this box the env var alone is ignored once the axon plugin is
 # registered — jax.config.update is authoritative.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Exception: JPGENC_HW=1 selects the on-hardware lane (tests/test_hw_tpu.py
+# only) — the real chip stays visible and kernels compile on it.
+HW_LANE = os.environ.get("JPGENC_HW") == "1"
+if not HW_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+else:
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"))
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not HW_LANE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

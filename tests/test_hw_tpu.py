@@ -1,0 +1,120 @@
+"""On-hardware kernel equality lane (VERDICT r1 item 6; SURVEY §5 item 2).
+
+Interpret-mode CI cannot catch Mosaic lowering quirks (gather shape rules,
+relayouts, unsigned ops); this lane compiles every production kernel on the
+REAL chip and compares against the jnp paths. Run it solo (never alongside a
+bench — tunnel contention skews nothing here but compiles fight for the
+remote compiler):
+
+    JPGENC_HW=1 python -m pytest tests/test_hw_tpu.py -q
+
+First run pays Pallas compile latency (minutes on this platform); reruns hit
+the compilation cache. Skipped entirely unless JPGENC_HW=1 and a TPU is
+present.
+"""
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("JPGENC_HW") != "1", reason="hardware lane (JPGENC_HW=1)")
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("no TPU visible")
+    return jax.devices()[0]
+
+
+@pytest.fixture(scope="module")
+def frame(rng):
+    from jpgenc_tpu.utils.fixtures import synth_frame
+    return synth_frame(256, 256)
+
+
+def test_k1_fused_vs_jnp(tpu, frame, rng):
+    from jpgenc_tpu.engine import pixels_to_scan, qtables_for_quality
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.ops.pallas.k1_dct import fused_pixels_to_scan
+    _, qt = qtables_for_quality(75)
+    for mode, img in [("420", frame), ("422", frame), ("444", frame),
+                      ("gray", frame[:, :, 0])]:
+        layout = make_layout(img.shape[0], img.shape[1], mode, 0)
+        ref = np.asarray(pixels_to_scan(img, layout, qt))
+        got = np.asarray(fused_pixels_to_scan(img, layout, qt))
+        np.testing.assert_array_equal(got, ref, err_msg=f"mode={mode}")
+
+
+def test_kernel_a_vs_jnp(tpu, frame):
+    from jpgenc_tpu.engine import (get_plan, luts_from_tables,
+                                   pixels_to_scan, qtables_for_quality)
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.ops.entropy import make_pieces
+    from jpgenc_tpu.ops.pack import block_pack
+    from jpgenc_tpu.ops.pallas.block_pack import (fused_block_pack,
+                                                  packed_tables,
+                                                  slot_metadata)
+    from jpgenc_tpu.ref.encoder import standard_tables
+    layout = make_layout(256, 256, "420", 0)
+    plan = get_plan(layout)
+    _, qt = qtables_for_quality(75)
+    luts = luts_from_tables(*standard_tables())
+    zz = pixels_to_scan(frame, layout, qt)
+    meta = slot_metadata(plan.plan, zz)
+    buf, bits = fused_block_pack(zz, *meta, tables=packed_tables(luts),
+                                 w_blk=24)
+    pv, pl_ = make_pieces(zz, plan.plan, luts)
+    rbuf, rbits = block_pack(pv, pl_, 24)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(rbits))
+    np.testing.assert_array_equal(np.asarray(buf), np.asarray(rbuf))
+
+
+def test_kernel_b_vs_jnp(tpu, frame):
+    from jpgenc_tpu.engine import (get_plan, luts_from_tables,
+                                   pixels_to_scan, qtables_for_quality)
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.ops.entropy import make_pieces
+    from jpgenc_tpu.ops.pack import block_pack, segments_from_blocks
+    from jpgenc_tpu.ops.pallas.seg_merge import fused_seg_merge
+    from jpgenc_tpu.ref.encoder import standard_tables
+    for restart in (0, 8):
+        layout = make_layout(256, 256, "420", restart)
+        plan = get_plan(layout)
+        _, qt = qtables_for_quality(75)
+        luts = luts_from_tables(*standard_tables())
+        zz = pixels_to_scan(frame, layout, qt)
+        pv, pl_ = make_pieces(zz, plan.plan, luts)
+        buf, bits = block_pack(pv, pl_, 24)
+        n_seg = layout.n_segments
+        w_seg = layout.blocks_per_segment * 24 + 2
+        ref_w, ref_b = segments_from_blocks(buf, bits, n_seg, w_seg)
+        got_w, got_b = fused_seg_merge(buf, bits, n_seg, 24)
+        ref_w, ref_b = np.asarray(ref_w), np.asarray(ref_b)
+        got_w, got_b = np.asarray(got_w), np.asarray(got_b)
+        np.testing.assert_array_equal(got_b, ref_b)
+        for s in range(n_seg):
+            nw = (int(ref_b[s]) + 31) // 32
+            np.testing.assert_array_equal(got_w[s, :nw], ref_w[s, :nw],
+                                          err_msg=f"restart={restart} seg={s}")
+
+
+def test_full_encode_on_hw(tpu, frame):
+    """End-to-end on the chip: production path == host reference finalize,
+    decodes via Pillow, coefficients round-trip bit-identically."""
+    import io as _io
+
+    from PIL import Image
+
+    from jpgenc_tpu.api import encode
+    from jpgenc_tpu.decoder import decode_to_coefficients
+    from jpgenc_tpu.utils.metrics import psnr
+
+    for kwargs in ({}, {"restart_interval": 4}, {"optimize": True}):
+        data = encode(frame, quality=75, **kwargs)
+        pil = np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"))
+        assert float(psnr(pil, frame)) > 30.0
+        layout, blocks, _ = decode_to_coefficients(data)
+        assert blocks.shape[1] == 64

@@ -1,0 +1,42 @@
+"""Pallas K1 (fused pixels->zigzag) vs the jnp reference path.
+
+Interpret-mode on CPU (SURVEY §5 "race detection" equivalent); the
+env-gated hardware lane (tests/test_hw_tpu.py) repeats the comparison on
+the real chip. Quantized integer outputs must agree exactly on the
+fixtures — the fused operators reassociate f32 ops, so a mismatch would
+require a coefficient within an ulp of a rounding boundary.
+"""
+import numpy as np
+import pytest
+
+from jpgenc_tpu.engine import pixels_to_scan, qtables_for_quality
+from jpgenc_tpu.layout import make_layout
+from jpgenc_tpu.ops.pallas.k1_dct import fused_pixels_to_scan
+
+
+@pytest.mark.parametrize("mode", ["gray", "444", "422", "420"])
+@pytest.mark.parametrize("quality", [50, 75, 92])
+def test_k1_matches_jnp(mode, quality, rng):
+    h, w = (96, 64) if mode == "420" else (64, 64)
+    img = (rng.integers(0, 255, (h, w), dtype=np.uint8) if mode == "gray"
+           else rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    layout = make_layout(h, w, mode, 0)
+    _, qt = qtables_for_quality(quality)
+    ref = np.asarray(pixels_to_scan(img, layout, qt))
+    got = np.asarray(fused_pixels_to_scan(img, layout, qt, interpret=True))
+    assert got.shape == ref.shape
+    diff = np.abs(got - ref)
+    bad = int((diff > 0).sum())
+    assert bad == 0, (
+        f"{bad} coefficient mismatches (max |d|={int(diff.max())}) "
+        f"mode={mode} q={quality}")
+
+
+def test_k1_unpadded_dims(rng):
+    """Non-MCU-aligned image: replicate padding flows through identically."""
+    img = rng.integers(0, 255, (50, 42, 3), dtype=np.uint8)
+    layout = make_layout(50, 42, "420", 2)
+    _, qt = qtables_for_quality(75)
+    ref = np.asarray(pixels_to_scan(img, layout, qt))
+    got = np.asarray(fused_pixels_to_scan(img, layout, qt, interpret=True))
+    np.testing.assert_array_equal(got, ref)
