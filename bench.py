@@ -1,21 +1,22 @@
 #!/usr/bin/env python
 """Benchmark driver (SURVEY.md component #23): one JSON line on stdout.
 
-Metric: MPix/s/chip, baseline JPEG encode at Q=75, RGB 1080p 4:2:0, standard
-Annex K tables — the BASELINE.json:2 north-star. `vs_baseline` is the ratio
-against the implied per-chip target of 625 MPix/s (10 GPix/s aggregate on a
-v5e-16, BASELINE.json:5; the reference itself publishes no numbers).
+Headline metric: MPix/s/chip, baseline JPEG encode at Q=75, RGB 1080p 4:2:0,
+standard Annex K tables — the BASELINE.json:2 north-star. `vs_baseline` is
+the ratio against the implied per-chip target of 625 MPix/s (10 GPix/s
+aggregate on a v5e-16, BASELINE.json:5; the reference publishes no numbers).
+The `configs` field carries the full BASELINE.json:6-11 matrix — one row per
+config including the PSNR-vs-bpp quality half of the metric pair (ours vs
+the Pillow/libjpeg-turbo anchor at equal quality) and a decode row.
 
-Headline: sustained batched encode-to-JFIF-bytes with device-resident input
-(the production shape: frames arrive from an on-device producer; the device
-pipeline emits stuffed scan bytes, BASELINE.json:5 contract). Every timed
-iteration fetches the packed buffers to host and assembles real JFIF files,
-so completion is forced — `block_until_ready` alone is unreliable on this
-platform. The full path including host->device pixel upload is reported on
-stderr as "e2e+upload".
+Timing methodology: `block_until_ready` returns early on this platform, so
+every timed loop fetches real output bytes before the clock stops. The
+headline times sustained batched encode with device-resident input (the
+production shape); "e2e+upload" includes the host->device pixel upload.
 """
 from __future__ import annotations
 
+import io as _io
 import json
 import os
 import sys
@@ -32,79 +33,206 @@ TARGET_MPIX_S = 625.0  # 10 GPix/s / 16 chips (BASELINE.json:5)
 H, W, B = 1080, 1920, 8
 
 
-def _test_frames(h: int, w: int, b: int) -> np.ndarray:
-    from jpgenc_tpu.utils.fixtures import synth_batch
-    return synth_batch(h, w, b)
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
+def _pipeline_fns(layout, quality, batch, mesh, tier="tight"):
+    """Batched device-pipeline callables for one (layout, quality, tier)."""
     import jax
-    import jax.numpy as jnp
 
-    from jpgenc_tpu.container.jfif import build_headers
-    from jpgenc_tpu.engine import (fetch_prefix, finalize_host, get_plan,
-                                   luts_from_tables, qtables_for_quality,
-                                   scan_caps)
-    from jpgenc_tpu.layout import make_layout
-    from jpgenc_tpu.parallel.mesh import encode_batch
-    from jpgenc_tpu.ref.encoder import standard_tables
-    from jax.sharding import Mesh
-
+    from jpgenc_tpu.engine import (get_plan, luts_from_tables,
+                                   qtables_for_quality, scan_caps)
     from jpgenc_tpu.ops.pack import w_blk_for_quality
+    from jpgenc_tpu.parallel.mesh import _batched_fns
+    from jpgenc_tpu.ref.encoder import standard_tables
 
-    frames = _test_frames(H, W, B)
-    layout = make_layout(H, W, "420", 0)
     plan = get_plan(layout)
-    caps = (scan_caps(layout, 75, "tight")[0], w_blk_for_quality(75))
-    qt_host, qt_dev = qtables_for_quality(75)
+    caps = (scan_caps(layout, quality, tier)[0], w_blk_for_quality(quality))
+    fns = _batched_fns(plan, batch, mesh, caps)
+    qt_host, qt_dev = qtables_for_quality(quality)
     dc_t, ac_t = standard_tables()
     luts = luts_from_tables(dc_t, ac_t)
-    hdr = build_headers(layout, list(qt_host), dc_t, ac_t)
-    mpix = B * H * W / 1e6
+    return plan, fns, qt_host, qt_dev, (dc_t, ac_t), luts
 
-    mesh = Mesh(np.array(jax.devices()[:1]), ("batch",))
-    from jpgenc_tpu.parallel.mesh import _batched_fns
-    fns = _batched_fns(plan, B, mesh, caps)
-    frames_dev = jax.device_put(frames, fns["sharding_img"])
+
+def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
+                  n_iter):
+    """Timed device-pipeline encode -> (sec/batch, files)."""
+    import jax
+
+    from jpgenc_tpu.engine import fetch_prefix, finalize_host
+
     n_rst = layout.n_segments - 1
+
+    cap_u = fns["caps"][0]
 
     def run_once():
         u, nbytes, ovf = fns["encode_bytes"](
             frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
-        nbytes = jax.device_get(nbytes)
-        up = fetch_prefix(u, int(nbytes.sum(axis=1).max()))
-        return [hdr + finalize_host(up[i], nbytes[i], 0, n_rst) + b"\xff\xd9"
-                for i in range(B)]
+        nb, ov = jax.device_get((nbytes, ovf))
+        assert not ov.any() and int(nb.sum(axis=1).max()) <= cap_u, \
+            "capacity tier overflow — bench config needs a bigger tier"
+        up = fetch_prefix(u, int(nb.sum(axis=1).max()))
+        return [hdr + finalize_host(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
+                for i in range(batch)]
 
     outs = run_once()                        # compile + warm
     assert outs[0][:2] == b"\xff\xd8" and outs[0][-2:] == b"\xff\xd9"
-
-    n_iter = 6
     t0 = time.perf_counter()
     for _ in range(n_iter):
         outs = run_once()
-    pipe_s = (time.perf_counter() - t0) / n_iter
-    value = mpix / pipe_s
+    return (time.perf_counter() - t0) / n_iter, outs
 
-    # full path incl. upload (encode_batch device_puts internally)
+
+def _psnr_bpp(data: bytes, img: np.ndarray, quality: int) -> dict:
+    """Quality half of the metric pair: ours vs the Pillow anchor."""
+    from PIL import Image
+
+    from jpgenc_tpu.utils.metrics import psnr
+    px = img.shape[0] * img.shape[1]
+    dec = np.asarray(Image.open(_io.BytesIO(data)).convert(
+        "RGB" if img.ndim == 3 else "L"))
+    buf = _io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=quality)
+    anchor = buf.getvalue()
+    adec = np.asarray(Image.open(_io.BytesIO(anchor)).convert(
+        "RGB" if img.ndim == 3 else "L"))
+    return {
+        "bpp": round(8 * len(data) / px, 4),
+        "psnr_db": round(float(psnr(dec, img)), 2),
+        "pillow_bpp": round(8 * len(anchor) / px, 4),
+        "pillow_psnr_db": round(float(psnr(adec, img)), 2),
+    }
+
+
+def main() -> None:
+    import jax
+    from jax.sharding import Mesh
+
+    from jpgenc_tpu.container.jfif import build_headers
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.parallel.mesh import encode_batch
+    from jpgenc_tpu.utils.fixtures import synth_batch, synth_frame
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("batch",))
+    configs: dict[str, dict] = {}
+
+    # ---- config :8 — HEADLINE: 1080p RGB 4:2:0 Q75 -----------------------
+    frames = synth_batch(H, W, B)
+    layout = make_layout(H, W, "420", 0)
+    plan, fns, qt_host, qt_dev, tabs, luts = _pipeline_fns(layout, 75, B, mesh)
+    hdr = build_headers(layout, list(qt_host), *tabs)
+    frames_dev = jax.device_put(frames, fns["sharding_img"])
+    sec, outs = _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev,
+                              hdr, B, n_iter=6)
+    mpix = B * H * W / 1e6
+    headline = mpix / sec
+    q8 = {"mpix_per_s": round(headline, 2), **_psnr_bpp(outs[0], frames[0], 75)}
+    configs["1080p_420_q75"] = q8
+    _log(f"c8 1080p 4:2:0 Q75 pipeline: {headline:.2f} MPix/s; "
+         f"bpp {q8['bpp']} psnr {q8['psnr_db']} "
+         f"(pillow {q8['pillow_bpp']}/{q8['pillow_psnr_db']})")
+
+    # e2e including upload through the production batch path
     outs2 = encode_batch(frames, quality=75, subsampling="420", mesh=mesh)
     t0 = time.perf_counter()
     for _ in range(3):
         outs2 = encode_batch(frames, quality=75, subsampling="420", mesh=mesh)
-    e2e_s = (time.perf_counter() - t0) / 3
+    e2e = mpix / ((time.perf_counter() - t0) / 3)
     assert outs2[0] == outs[0], "batched paths disagree"
+    configs["1080p_420_q75"]["e2e_upload_mpix_per_s"] = round(e2e, 2)
+    _log(f"c8 e2e+upload: {e2e:.2f} MPix/s")
 
-    print(f"# pipeline (device-resident input): {value:.2f} MPix/s; "
-          f"e2e+upload: {mpix / e2e_s:.2f} MPix/s; "
-          f"bpp: {8 * len(outs[0]) / (H * W):.3f}; batch={B}; "
-          f"backend: {jax.devices()[0].platform}", file=sys.stderr)
+    # ---- config :7 — grayscale 512x512 Q75 -------------------------------
+    gray = np.stack([synth_frame(512, 512)[:, :, 0] for _ in range(B)])
+    glayout = make_layout(512, 512, "gray", 0)
+    # the noisy gray fixture lands ~1.2 bpp — above the tight tier's bucket
+    gplan, gfns, gqt_host, gqt_dev, gtabs, gluts = _pipeline_fns(
+        glayout, 75, B, mesh, tier="safe")
+    ghdr = build_headers(glayout, list(gqt_host), *gtabs)
+    gdev = jax.device_put(gray, gfns["sharding_img"])
+    gsec, gouts = _run_pipeline(glayout, gplan, gfns, gqt_dev, gluts, gdev,
+                                ghdr, B, n_iter=6)
+    gq = _psnr_bpp(gouts[0], gray[0], 75)
+    configs["gray512_q75"] = {
+        "mpix_per_s": round(B * 512 * 512 / 1e6 / gsec, 2), **gq}
+    _log(f"c7 gray 512: {configs['gray512_q75']['mpix_per_s']} MPix/s; "
+         f"bpp {gq['bpp']} psnr {gq['psnr_db']}")
+
+    # ---- config :9 — quality sweep + restart intervals -------------------
+    sweep = {}
+    rlayout = make_layout(H, W, "420", 120)
+    rhdr_of = {}
+    for q in (50, 95):
+        rplan, rfns, rqt_host, rqt_dev, rtabs, rluts = _pipeline_fns(
+            rlayout, q, B, mesh)
+        rhdr = build_headers(rlayout, list(rqt_host), *rtabs)
+        rsec, routs = _run_pipeline(rlayout, rplan, rfns, rqt_dev, rluts,
+                                    frames_dev, rhdr, B, n_iter=3)
+        sq = _psnr_bpp(routs[0], frames[0], q)
+        sweep[f"q{q}"] = {"mpix_per_s": round(mpix / rsec, 2), **sq}
+        _log(f"c9 Q{q}+DRI120: {sweep[f'q{q}']['mpix_per_s']} MPix/s; "
+             f"bpp {sq['bpp']} psnr {sq['psnr_db']}")
+    configs["qsweep_dri"] = sweep
+
+    # ---- config :10 — optimized-Huffman two-pass, 4K ---------------------
+    from jpgenc_tpu.api import encode as encode_one
+    img4k = synth_frame(2160, 3840)
+    data4k = encode_one(img4k, quality=75, optimize=True)   # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(2):
+        data4k = encode_one(img4k, quality=75, optimize=True)
+    sec4k = (time.perf_counter() - t0) / 2
+    q4k = _psnr_bpp(data4k, img4k, 75)
+    configs["4k_optimized"] = {
+        "mpix_per_s": round(2160 * 3840 / 1e6 / sec4k, 2), **q4k}
+    _log(f"c10 4K optimize: {configs['4k_optimized']['mpix_per_s']} MPix/s; "
+         f"bpp {q4k['bpp']} psnr {q4k['psnr_db']}")
+
+    # ---- config :11 — batched multi-image encode (scaled to this chip),
+    # double-buffered: chunk k+1's upload overlaps chunk k's encode ---------
+    from jpgenc_tpu.parallel.mesh import stage_batch
+    n_chunks = 3
+    staged = stage_batch(frames, quality=75, subsampling="420", mesh=mesh)
+    t0 = time.perf_counter()
+    for k in range(n_chunks):
+        cur = staged
+        if k + 1 < n_chunks:
+            staged = stage_batch(frames, quality=75, subsampling="420",
+                                 mesh=mesh)
+        encode_batch(frames, quality=75, subsampling="420", mesh=mesh,
+                     staged=cur)
+    bsec = time.perf_counter() - t0
+    n_imgs = n_chunks * B
+    configs["batch_sharded"] = {
+        "images": n_imgs,
+        "note": "slice of the 1024-image config on the 1 available chip, "
+                "e2e incl. double-buffered upload; multi-host scaling "
+                "exercised in tests/test_multiprocess.py",
+        "e2e_mpix_per_s": round(n_imgs * H * W / 1e6 / bsec, 2)}
+    _log(f"c11 batch e2e: {configs['batch_sharded']['e2e_mpix_per_s']} MPix/s "
+         f"({n_imgs} imgs)")
+
+    # ---- decode throughput ----------------------------------------------
+    from jpgenc_tpu.api import decode as decode_one
+    decode_one(outs[0])                                     # compile + warm
+    t0 = time.perf_counter()
+    for i in range(4):
+        decode_one(outs[i % B])
+    dsec = (time.perf_counter() - t0) / 4
+    configs["decode_1080p"] = {"mpix_per_s": round(H * W / 1e6 / dsec, 2)}
+    _log(f"decode 1080p: {configs['decode_1080p']['mpix_per_s']} MPix/s")
+
     print(json.dumps({
         "metric": "MPix/s/chip baseline JPEG encode @ Q=75 (1080p RGB 4:2:0, "
                   "batched, device pipeline + packed-bytes download + host "
                   "file assembly)",
-        "value": round(value, 2),
+        "value": round(headline, 2),
         "unit": "MPix/s",
-        "vs_baseline": round(value / TARGET_MPIX_S, 4),
+        "vs_baseline": round(headline / TARGET_MPIX_S, 4),
+        "backend": jax.devices()[0].platform,
+        "configs": configs,
     }))
 
 

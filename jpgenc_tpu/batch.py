@@ -59,6 +59,7 @@ def run_batch(images: Sequence[np.ndarray | str] | np.ndarray,
     """
     if len(images) != len(output_paths):
         raise ValueError("images and output_paths length mismatch")
+    prefetch = encode_chunk is None
     if encode_chunk is None:
         from jpgenc_tpu.parallel.mesh import encode_batch as encode_chunk
 
@@ -98,15 +99,31 @@ def run_batch(images: Sequence[np.ndarray | str] | np.ndarray,
         else:
             chunks.append([i])
 
+    def _stage(idxs):
+        """Load a chunk and (for the default encoder) start its upload so the
+        next chunk's host->device transfer overlaps this chunk's encode."""
+        chunk = np.stack([_load(i) for i in idxs])
+        if not prefetch:
+            return chunk, None
+        from jpgenc_tpu.parallel.mesh import stage_batch
+        return chunk, stage_batch(chunk, quality=quality,
+                                  subsampling=subsampling,
+                                  restart_interval=restart_interval,
+                                  mesh=mesh)
+
     px_done = 0
     t0 = time.perf_counter()
+    staged_next = _stage(chunks[0]) if chunks else None
     with open(manifest_path, "a") as mf:
-        for idxs in chunks:
-            chunk = np.stack([_load(i) for i in idxs])
+        for ci, idxs in enumerate(chunks):
+            chunk, staged = staged_next
+            if ci + 1 < len(chunks):
+                staged_next = _stage(chunks[ci + 1])
+            kwargs = {"staged": staged} if staged is not None else {}
             outs = encode_chunk(chunk, quality=quality,
                                 subsampling=subsampling,
                                 restart_interval=restart_interval,
-                                optimize=optimize, mesh=mesh)
+                                optimize=optimize, mesh=mesh, **kwargs)
             for i, data in zip(idxs, outs):
                 with open(output_paths[i], "wb") as f:
                     f.write(data)

@@ -80,23 +80,22 @@ def optimize_tables(freq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     codesize = np.zeros(257, dtype=np.int64)
     others = np.full(257, -1, dtype=np.int64)
 
+    big = np.iinfo(np.int64).max
     while True:
         # find two least-frequent nonzero entries (ties: highest symbol value,
-        # matching libjpeg so optional golden comparisons line up)
-        c1 = -1
-        v = np.iinfo(np.int64).max
-        for i in range(257):
-            if 0 < f[i] <= v:
-                v = f[i]
-                c1 = i
-        c2 = -1
-        v = np.iinfo(np.int64).max
-        for i in range(257):
-            if 0 < f[i] <= v and i != c1:
-                v = f[i]
-                c2 = i
-        if c2 < 0:
+        # matching libjpeg so optional golden comparisons line up).
+        # Vectorized — the scalar scan made this loop the batch-mode
+        # bottleneck (4 tables x O(256 merges x 257) Python steps per image).
+        masked = np.where(f > 0, f, big)
+        m1 = masked.min()
+        if m1 == big:
             break
+        c1 = int(np.flatnonzero(masked == m1)[-1])
+        masked[c1] = big
+        m2 = masked.min()
+        if m2 == big:
+            break
+        c2 = int(np.flatnonzero(masked == m2)[-1])
 
         f[c1] += f[c2]
         f[c2] = 0
@@ -136,9 +135,11 @@ def optimize_tables(freq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     bits = np.zeros(MAX_CODE_LEN, dtype=np.int32)
     bits[: min(i, MAX_CODE_LEN)] = counts[1 : min(i, MAX_CODE_LEN) + 1]
-    # SORT_INPUT (T.81 Figure K.4): symbols ordered by code size, then value
+    # SORT_INPUT (T.81 Figure K.4): symbols ordered by their ORIGINAL code
+    # size (which may exceed 16 before ADJUST_BITS — those symbols still get
+    # codes, at the shortened lengths BITS now describes), then by value
     order = []
-    for size in range(1, MAX_CODE_LEN + 1):
+    for size in range(1, int(max(codesize.max(), 1)) + 1):
         for sym in range(256):
             if codesize[sym] == size:
                 order.append(sym)

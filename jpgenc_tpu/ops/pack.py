@@ -177,8 +177,11 @@ def compact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
         b = ((word[:, None] >> sh[None, :]) & 0xFF).reshape(-1)[:k]
         if k < cap_u:
             b = jnp.pad(b, (0, cap_u - k))
+        # set the final byte's 1-padding elementwise (a 1-element scatter
+        # would batch poorly under vmap)
         last = jnp.clip(nbytes[0] - 1, 0, cap_u - 1)
-        b = b.at[last].set(b[last] | pad_mask[0])
+        b = jnp.where(jnp.arange(cap_u, dtype=_I32) == last,
+                      b | pad_mask[0], b)
         return b.astype(jnp.uint8), nbytes
 
     # multi-segment (restart intervals): gather bytes through the segment map

@@ -232,16 +232,8 @@ def _build_tables_from_freq(freq: np.ndarray, n_tabs: int):
     return dc, ac
 
 
-def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
-                 restart_interval: int = 0, optimize: bool = False,
-                 mesh: Mesh | None = None) -> list[bytes]:
-    """Encode a [B, H, W(, 3)] uint8 batch, sharded over the mesh batch axis.
-
-    Returns one JFIF bytestring per image, identical to per-image `api.encode`.
-    """
-    cfg = EncodeConfig(quality=quality, subsampling=subsampling,
-                       restart_interval=restart_interval,
-                       optimize_huffman=optimize)
+def _batch_setup(imgs: np.ndarray, cfg: EncodeConfig, mesh):
+    """Shared prologue: mesh resolution, batch padding, plan + executables."""
     imgs = np.ascontiguousarray(imgs)
     mesh = _as_mesh(mesh)
     if mesh is None:
@@ -251,15 +243,48 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     pad = (-b) % n_dev
     if pad:  # round the batch up to the mesh size; padded outputs are dropped
         imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
-
     mode = "gray" if imgs.ndim == 3 else cfg.subsampling
-    layout = make_layout(imgs.shape[1], imgs.shape[2], mode, cfg.restart_interval)
+    layout = make_layout(imgs.shape[1], imgs.shape[2], mode,
+                         cfg.restart_interval)
     plan = get_plan(layout)
     caps = (scan_caps(layout, cfg.quality, "tight")[0],
             w_blk_for_quality(cfg.quality))
     fns = _batched_fns(plan, imgs.shape[0], mesh, caps)
+    return imgs, b, pad, layout, plan, caps, fns
+
+
+def stage_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
+                restart_interval: int = 0, mesh: Mesh | None = None):
+    """Start the async host->device transfer for a batch and return the
+    staged handle to pass as encode_batch(..., staged=...).
+
+    device_put returns immediately (PJRT transfers run in the background), so
+    staging batch k+1 while batch k encodes overlaps upload with compute —
+    the double-buffered input pipeline (batch.run_batch uses this)."""
+    cfg = EncodeConfig(quality=quality, subsampling=subsampling,
+                       restart_interval=restart_interval)
+    imgs, b, pad, layout, plan, caps, fns = _batch_setup(imgs, cfg, mesh)
+    return imgs, jax.device_put(imgs, fns["sharding_img"])
+
+
+def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
+                 restart_interval: int = 0, optimize: bool = False,
+                 mesh: Mesh | None = None, staged=None) -> list[bytes]:
+    """Encode a [B, H, W(, 3)] uint8 batch, sharded over the mesh batch axis.
+
+    Returns one JFIF bytestring per image, identical to per-image `api.encode`.
+    `staged` accepts the result of stage_batch(imgs, ...) to reuse an upload
+    already in flight.
+    """
+    cfg = EncodeConfig(quality=quality, subsampling=subsampling,
+                       restart_interval=restart_interval,
+                       optimize_huffman=optimize)
+    imgs, b, pad, layout, plan, caps, fns = _batch_setup(imgs, cfg, mesh)
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
-    imgs_dev = jax.device_put(imgs, fns["sharding_img"])
+    if staged is not None:
+        imgs, imgs_dev = staged
+    else:
+        imgs_dev = jax.device_put(imgs, fns["sharding_img"])
 
     n_tabs = 1 if layout.is_gray else 2
     if cfg.optimize_huffman:

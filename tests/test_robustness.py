@@ -106,6 +106,25 @@ class TestForeignFiles:
             decode(bytes(data))
 
 
+class TestOptimizedTablesLengthLimit:
+    def test_deep_tree_histograms_keep_all_symbols(self, rng):
+        """Regression: histograms whose Huffman tree exceeds 16 levels must
+        still assign every symbol a (length-limited) code. SORT_INPUT used to
+        drop symbols with pre-ADJUST_BITS code sizes > 16 (first hit by the
+        4K optimize config)."""
+        from jpgenc_tpu.huffman import build_codes, optimize_tables
+        for _ in range(50):
+            freq = np.zeros(256, np.int64)
+            n = int(rng.integers(2, 60))
+            syms = rng.choice(256, n, replace=False)
+            freq[syms] = (2 ** rng.integers(0, 40, n)).astype(np.int64)
+            bits, vals = optimize_tables(freq)
+            t = build_codes(bits, vals)
+            assert int(bits.sum()) == vals.size
+            assert all(t.length[s] > 0 for s in syms)
+            assert int(t.length[syms].max()) <= 16
+
+
 class TestFallbackChain:
     def test_noise_image_never_leaves_device_pipeline(self, rng, monkeypatch):
         """Pure-noise content overflows the tight tier; the chain must finish
