@@ -118,6 +118,17 @@ def main() -> None:
     mesh = Mesh(np.array(jax.devices()[:1]), ("batch",))
     configs: dict[str, dict] = {}
 
+    # The remote compile service on this platform is wildly variable (80 s to
+    # 300+ s per executable, and the persistent cache misses cross-process
+    # for most computations). The headline config runs unconditionally; each
+    # further matrix config runs only while the budget holds, so the JSON
+    # line always lands regardless of compile weather.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    bench_t0 = time.perf_counter()
+
+    def budget_left() -> bool:
+        return time.perf_counter() - bench_t0 < budget_s
+
     # ---- config :8 — HEADLINE: 1080p RGB 4:2:0 Q75 -----------------------
     frames = synth_batch(H, W, B)
     layout = make_layout(H, W, "420", 0)
@@ -144,85 +155,114 @@ def main() -> None:
     configs["1080p_420_q75"]["e2e_upload_mpix_per_s"] = round(e2e, 2)
     _log(f"c8 e2e+upload: {e2e:.2f} MPix/s")
 
+    def _config(name, fn):
+        if not budget_left():
+            configs[name] = {"skipped": "bench time budget exhausted "
+                                        "(compile-service weather)"}
+            _log(f"{name}: skipped (budget)")
+            return
+        try:
+            configs[name] = fn()
+        except Exception as e:  # one config must not kill the JSON line
+            configs[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            _log(f"{name}: ERROR {e}")
+
     # ---- config :7 — grayscale 512x512 Q75 -------------------------------
-    gray = np.stack([synth_frame(512, 512)[:, :, 0] for _ in range(B)])
-    glayout = make_layout(512, 512, "gray", 0)
-    # the noisy gray fixture lands ~1.2 bpp — above the tight tier's bucket
-    gplan, gfns, gqt_host, gqt_dev, gtabs, gluts = _pipeline_fns(
-        glayout, 75, B, mesh, tier="safe")
-    ghdr = build_headers(glayout, list(gqt_host), *gtabs)
-    gdev = jax.device_put(gray, gfns["sharding_img"])
-    gsec, gouts = _run_pipeline(glayout, gplan, gfns, gqt_dev, gluts, gdev,
-                                ghdr, B, n_iter=6)
-    gq = _psnr_bpp(gouts[0], gray[0], 75)
-    configs["gray512_q75"] = {
-        "mpix_per_s": round(B * 512 * 512 / 1e6 / gsec, 2), **gq}
-    _log(f"c7 gray 512: {configs['gray512_q75']['mpix_per_s']} MPix/s; "
-         f"bpp {gq['bpp']} psnr {gq['psnr_db']}")
+    def c7():
+        gray = np.stack([synth_frame(512, 512)[:, :, 0] for _ in range(B)])
+        glayout = make_layout(512, 512, "gray", 0)
+        # the noisy gray fixture lands ~1.2 bpp — above the tight bucket
+        gplan, gfns, gqt_host, gqt_dev, gtabs, gluts = _pipeline_fns(
+            glayout, 75, B, mesh, tier="safe")
+        ghdr = build_headers(glayout, list(gqt_host), *gtabs)
+        gdev = jax.device_put(gray, gfns["sharding_img"])
+        gsec, gouts = _run_pipeline(glayout, gplan, gfns, gqt_dev, gluts,
+                                    gdev, ghdr, B, n_iter=6)
+        gq = _psnr_bpp(gouts[0], gray[0], 75)
+        row = {"mpix_per_s": round(B * 512 * 512 / 1e6 / gsec, 2), **gq}
+        _log(f"c7 gray 512: {row['mpix_per_s']} MPix/s; "
+             f"bpp {gq['bpp']} psnr {gq['psnr_db']}")
+        return row
+
+    _config("gray512_q75", c7)
 
     # ---- config :9 — quality sweep + restart intervals -------------------
-    sweep = {}
-    rlayout = make_layout(H, W, "420", 120)
-    rhdr_of = {}
-    for q in (50, 95):
-        rplan, rfns, rqt_host, rqt_dev, rtabs, rluts = _pipeline_fns(
-            rlayout, q, B, mesh)
-        rhdr = build_headers(rlayout, list(rqt_host), *rtabs)
-        rsec, routs = _run_pipeline(rlayout, rplan, rfns, rqt_dev, rluts,
-                                    frames_dev, rhdr, B, n_iter=3)
-        sq = _psnr_bpp(routs[0], frames[0], q)
-        sweep[f"q{q}"] = {"mpix_per_s": round(mpix / rsec, 2), **sq}
-        _log(f"c9 Q{q}+DRI120: {sweep[f'q{q}']['mpix_per_s']} MPix/s; "
-             f"bpp {sq['bpp']} psnr {sq['psnr_db']}")
-    configs["qsweep_dri"] = sweep
+    def c9():
+        sweep = {}
+        rlayout = make_layout(H, W, "420", 120)
+        for q in (50, 95):
+            if not budget_left() and sweep:
+                break
+            rplan, rfns, rqt_host, rqt_dev, rtabs, rluts = _pipeline_fns(
+                rlayout, q, B, mesh)
+            rhdr = build_headers(rlayout, list(rqt_host), *rtabs)
+            rsec, routs = _run_pipeline(rlayout, rplan, rfns, rqt_dev, rluts,
+                                        frames_dev, rhdr, B, n_iter=3)
+            sq = _psnr_bpp(routs[0], frames[0], q)
+            sweep[f"q{q}"] = {"mpix_per_s": round(mpix / rsec, 2), **sq}
+            _log(f"c9 Q{q}+DRI120: {sweep[f'q{q}']['mpix_per_s']} MPix/s; "
+                 f"bpp {sq['bpp']} psnr {sq['psnr_db']}")
+        return sweep
+
+    _config("qsweep_dri", c9)
 
     # ---- config :10 — optimized-Huffman two-pass, 4K ---------------------
-    from jpgenc_tpu.api import encode as encode_one
-    img4k = synth_frame(2160, 3840)
-    data4k = encode_one(img4k, quality=75, optimize=True)   # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(2):
-        data4k = encode_one(img4k, quality=75, optimize=True)
-    sec4k = (time.perf_counter() - t0) / 2
-    q4k = _psnr_bpp(data4k, img4k, 75)
-    configs["4k_optimized"] = {
-        "mpix_per_s": round(2160 * 3840 / 1e6 / sec4k, 2), **q4k}
-    _log(f"c10 4K optimize: {configs['4k_optimized']['mpix_per_s']} MPix/s; "
-         f"bpp {q4k['bpp']} psnr {q4k['psnr_db']}")
+    def c10():
+        from jpgenc_tpu.api import encode as encode_one
+        img4k = synth_frame(2160, 3840)
+        data4k = encode_one(img4k, quality=75, optimize=True)   # compile+warm
+        t0 = time.perf_counter()
+        for _ in range(2):
+            data4k = encode_one(img4k, quality=75, optimize=True)
+        sec4k = (time.perf_counter() - t0) / 2
+        q4k = _psnr_bpp(data4k, img4k, 75)
+        row = {"mpix_per_s": round(2160 * 3840 / 1e6 / sec4k, 2), **q4k}
+        _log(f"c10 4K optimize: {row['mpix_per_s']} MPix/s; "
+             f"bpp {q4k['bpp']} psnr {q4k['psnr_db']}")
+        return row
+
+    _config("4k_optimized", c10)
 
     # ---- config :11 — batched multi-image encode (scaled to this chip),
-    # double-buffered: chunk k+1's upload overlaps chunk k's encode ---------
-    from jpgenc_tpu.parallel.mesh import stage_batch
-    n_chunks = 3
-    staged = stage_batch(frames, quality=75, subsampling="420", mesh=mesh)
-    t0 = time.perf_counter()
-    for k in range(n_chunks):
-        cur = staged
-        if k + 1 < n_chunks:
-            staged = stage_batch(frames, quality=75, subsampling="420",
-                                 mesh=mesh)
-        encode_batch(frames, quality=75, subsampling="420", mesh=mesh,
-                     staged=cur)
-    bsec = time.perf_counter() - t0
-    n_imgs = n_chunks * B
-    configs["batch_sharded"] = {
-        "images": n_imgs,
-        "note": "slice of the 1024-image config on the 1 available chip, "
-                "e2e incl. double-buffered upload; multi-host scaling "
-                "exercised in tests/test_multiprocess.py",
-        "e2e_mpix_per_s": round(n_imgs * H * W / 1e6 / bsec, 2)}
-    _log(f"c11 batch e2e: {configs['batch_sharded']['e2e_mpix_per_s']} MPix/s "
-         f"({n_imgs} imgs)")
+    # double-buffered: chunk k+1's upload overlaps chunk k's encode --------
+    def c11():
+        from jpgenc_tpu.parallel.mesh import stage_batch
+        n_chunks = 3
+        staged = stage_batch(frames, quality=75, subsampling="420", mesh=mesh)
+        t0 = time.perf_counter()
+        for k in range(n_chunks):
+            cur = staged
+            if k + 1 < n_chunks:
+                staged = stage_batch(frames, quality=75, subsampling="420",
+                                     mesh=mesh)
+            encode_batch(frames, quality=75, subsampling="420", mesh=mesh,
+                         staged=cur)
+        bsec = time.perf_counter() - t0
+        n_imgs = n_chunks * B
+        row = {
+            "images": n_imgs,
+            "note": "slice of the 1024-image config on the 1 available "
+                    "chip, e2e incl. double-buffered upload; multi-host "
+                    "scaling exercised in tests/test_multiprocess.py",
+            "e2e_mpix_per_s": round(n_imgs * H * W / 1e6 / bsec, 2)}
+        _log(f"c11 batch e2e: {row['e2e_mpix_per_s']} MPix/s ({n_imgs} imgs)")
+        return row
+
+    _config("batch_sharded", c11)
 
     # ---- decode throughput ----------------------------------------------
-    from jpgenc_tpu.api import decode as decode_one
-    decode_one(outs[0])                                     # compile + warm
-    t0 = time.perf_counter()
-    for i in range(4):
-        decode_one(outs[i % B])
-    dsec = (time.perf_counter() - t0) / 4
-    configs["decode_1080p"] = {"mpix_per_s": round(H * W / 1e6 / dsec, 2)}
-    _log(f"decode 1080p: {configs['decode_1080p']['mpix_per_s']} MPix/s")
+    def cdec():
+        from jpgenc_tpu.api import decode as decode_one
+        decode_one(outs[0])                                 # compile + warm
+        t0 = time.perf_counter()
+        for i in range(4):
+            decode_one(outs[i % B])
+        dsec = (time.perf_counter() - t0) / 4
+        row = {"mpix_per_s": round(H * W / 1e6 / dsec, 2)}
+        _log(f"decode 1080p: {row['mpix_per_s']} MPix/s")
+        return row
+
+    _config("decode_1080p", cdec)
 
     print(json.dumps({
         "metric": "MPix/s/chip baseline JPEG encode @ Q=75 (1080p RGB 4:2:0, "
