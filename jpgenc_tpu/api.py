@@ -37,7 +37,7 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
     # that no input should reach.
     w_blk_q = w_blk_for_quality(cfg.quality)
     tiers = [(scan_caps(layout, cfg.quality, "tight")[0], w_blk_q),
-             (scan_caps(layout, cfg.quality, "safe")[0], w_blk_q),
+             (scan_caps(layout, cfg.quality, "safe")[0], max(w_blk_q, 24)),
              (scan_caps(layout, cfg.quality, "worst")[0], 56)]
     tiers = [t for i, t in enumerate(tiers) if t not in tiers[:i]]
     if cfg.optimize_huffman:

@@ -298,6 +298,7 @@ class DevicePlan:
         self._entropy = _entropy
         self._hist = _hist
         self._bytes_fns: dict[tuple, dict] = {}
+        self._prefix_guess = 4096   # adaptive speculative-fetch length
 
     def bytes_fns(self, cap_u: int, w_blk: int) -> dict:
         """Jitted pixels->compact-unstuffed-scan pipelines for a capacity.
@@ -332,14 +333,21 @@ class DevicePlan:
 
     def _finish_bytes(self, outs, cap_u, first_rst, n_rst):
         u_dev, nbytes_dev, ovf_dev = outs
-        nbytes, ovf = jax.device_get((nbytes_dev, ovf_dev))
+        # speculative single round trip: metadata + a guessed stream prefix
+        # in one device_get (every extra sync costs a full dispatch);
+        # refetch only when the guess fell short
+        up, nbytes, ovf = jax.device_get(
+            (prefix_slice(u_dev, self._prefix_guess - 1),
+             nbytes_dev, ovf_dev))
         total = int(nbytes.sum())
         if bool(ovf) or total > cap_u:
             return b"", False
+        if total > up.shape[-1]:
+            up = fetch_prefix(u_dev, total)
+        self._prefix_guess = max(total, 4096)
         if n_rst < 0:
             n_rst = len(nbytes) - 1
-        return finalize_host(fetch_prefix(u_dev, total), nbytes,
-                             first_rst, n_rst), True
+        return finalize_host(up, nbytes, first_rst, n_rst), True
 
     def encode_scan_bytes(self, img, qtabs, luts, cap_u: int,
                           w_blk: int, first_rst: int = 0, n_rst: int = -1):
@@ -388,17 +396,22 @@ def get_plan(layout: FrameLayout) -> DevicePlan:
 # Host finalize: the one host-side pass of the production path
 # ---------------------------------------------------------------------------
 
-def fetch_prefix(u_dev, total: int) -> np.ndarray:
-    """Transfer only a prefix covering `total` bytes of a device byte stream
-    (last axis). The capacity buffer is mostly empty at typical bitrates, and
-    the device->host link is the scarce resource; the prefix length is
-    rounded up to a power of two so the handful of slice executables stays
-    compile-cached (fresh compiles cost ~80 s on this platform)."""
+def prefix_slice(u_dev, total: int):
+    """Device-side slice covering `total` bytes of a byte stream (last
+    axis), rounded up to a power of two so the handful of slice executables
+    stays compile-cached (fresh compiles cost ~80 s on this platform)."""
     cap = u_dev.shape[-1]
     if total >= cap:
-        return np.asarray(u_dev)
+        return u_dev
     k = min(cap, max(1 << max(0, (total - 1).bit_length()), 4096))
-    return np.asarray(u_dev[..., :k])
+    return u_dev[..., :k]
+
+
+def fetch_prefix(u_dev, total: int) -> np.ndarray:
+    """Transfer only a prefix covering `total` bytes of a device byte stream
+    (last axis). The capacity buffer is mostly empty at typical bitrates,
+    and the device->host link is the scarce resource."""
+    return np.asarray(prefix_slice(u_dev, total))
 
 
 def finalize_host(u: np.ndarray, nbytes: np.ndarray, first_rst: int,

@@ -78,14 +78,17 @@ def build_registers(piece_val: jnp.ndarray,
 
 
 def w_blk_for_quality(quality: int) -> int:
-    """Per-block word capacity bucket for the block-granular pack path.
+    """FIRST-tier per-block word capacity for the block-granular pack path.
 
-    56 words covers the true worst case (MAX_BLOCK_BITS), so the top bucket
-    never overflows; smaller buckets trade a rare whole-image fallback for a
-    10x smaller scatter index count.
+    Kernel A's merge and kernel B's span both scale with w_blk, so the first
+    tier is sized for typical photographic content (measured max ~123
+    bits/block at Q75 on the fixtures; 8 words = 256 bits is 2x headroom).
+    Overflow escalates through the capacity ladder (api.encode: 24-word safe
+    tier, then the 56-word worst tier that covers MAX_BLOCK_BITS and can
+    never overflow).
     """
     if quality <= 80:
-        return 24
+        return 8
     if quality <= 92:
         return 32
     return 56

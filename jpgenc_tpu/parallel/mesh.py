@@ -98,21 +98,34 @@ def _local_rows(*arrays) -> dict[int, tuple]:
     return rows
 
 
-def _local_rows_prefix(u, totals: dict[int, int]) -> dict[int, np.ndarray]:
-    """Locally-addressable rows of a batch-sharded byte-stream array,
-    transferring only a per-shard prefix covering the rows' real lengths —
-    the device->host link is the scarce resource and the capacity buffer is
-    mostly empty at typical bitrates (engine.fetch_prefix)."""
-    from jpgenc_tpu.engine import fetch_prefix
-    rows: dict[int, np.ndarray] = {}
-    for sh in u.addressable_shards:
-        sl = sh.index[0] if sh.index else slice(None)
+_PREFIX_GUESS: dict[tuple, int] = {}
+
+
+def _fetch_scan_rows(u, nbytes, ovf, cap_u: int, guess_key: tuple
+                     ) -> dict[int, tuple]:
+    """Locally-addressable (u_prefix, nbytes, ovf) rows of the batch-sharded
+    finalize outputs, with ONE speculative device_get per shard: metadata
+    plus an adaptively-guessed stream prefix fetched together (each extra
+    sync costs a full dispatch; the capacity buffer is mostly empty at
+    typical bitrates, so only real bytes should cross the link). Refetches
+    only when the guess fell short. Multi-host safe (addressable shards)."""
+    from jpgenc_tpu.engine import fetch_prefix, prefix_slice
+    rows: dict[int, tuple] = {}
+    guess = _PREFIX_GUESS.get(guess_key, 4096)
+    for su, sn, so in zip(u.addressable_shards, nbytes.addressable_shards,
+                          ovf.addressable_shards):
+        sl = su.index[0] if su.index else slice(None)
         start = sl.start or 0
-        n = sh.data.shape[0]
-        t = max((totals.get(start + j, 0) for j in range(n)), default=0)
-        data = fetch_prefix(sh.data, t)
-        for j in range(n):
-            rows.setdefault(start + j, data[j])
+        up, nb, ov = jax.device_get(
+            (prefix_slice(su.data, guess - 1), sn.data, so.data))
+        t = int(nb.sum(axis=-1).max()) if nb.size else 0
+        t = min(t, cap_u)
+        if t > up.shape[-1]:
+            up = fetch_prefix(su.data, t)
+        guess = max(guess, t, 4096)
+        for j in range(nb.shape[0]):
+            rows.setdefault(start + j, (up[j], nb[j], ov[j]))
+    _PREFIX_GUESS[guess_key] = guess
     return rows
 
 
@@ -311,16 +324,14 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
 
     # per-process assembly over addressable shards only (multi-host safe),
     # then host-side exchange so every process returns the full result list
-    rows = _local_rows(nbytes, ovf)
-    u_rows = _local_rows_prefix(
-        u, {i: min(int(r[0].sum()), caps[0]) for i, r in rows.items()})
+    rows = _fetch_scan_rows(u, nbytes, ovf, caps[0],
+                            ("batch", id(plan), caps))
     blocks_rows = None
     local: dict[int, bytes] = {}
     for i in sorted(rows):
         if i >= b:
             continue  # batch padding
-        nb, ov = rows[i]
-        ui = u_rows[i]
+        ui, nb, ov = rows[i]
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
         hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
@@ -435,14 +446,12 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     # GLOBAL RSTn numbering (addressable shards only — multi-host safe), then
     # the per-stripe blobs are exchanged over DCN and concatenated into ONE
     # scan on every process (SURVEY.md hard part 5 / call stack 4.5)
-    rows = _local_rows(nbytes, ovf)
-    u_rows = _local_rows_prefix(
-        u, {s: min(int(r[0].sum()), caps[0]) for s, r in rows.items()})
+    rows = _fetch_scan_rows(u, nbytes, ovf, caps[0],
+                            ("stripe", id(plan), caps))
     blocks_rows = None
     local: dict[int, bytes] = {}
     for s in sorted(rows):
-        nb, ov = rows[s]
-        us = u_rows[s]
+        us, nb, ov = rows[s]
         g0 = s * segs_per_stripe
         n_rst_s = segs_per_stripe if s < n_stripes - 1 else segs_per_stripe - 1
         if bool(ov) or int(nb.sum()) > caps[0]:
