@@ -85,11 +85,35 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
         return [hdr + finalize_host(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
                 for i in range(batch)]
 
+    def launch():
+        return fns["encode_bytes"](
+            frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
+
+    def collect(pend):
+        u, nbytes, ovf = pend
+        up, nb, ov = jax.device_get(
+            (prefix_slice(u, guess[0] - 1), nbytes, ovf))
+        total = int(nb.sum(axis=1).max())
+        assert not ov.any() and total <= cap_u, \
+            "capacity tier overflow — bench config needs a bigger tier"
+        if total > up.shape[-1]:
+            up = fetch_prefix(u, total)
+        guess[0] = max(total, 4096)
+        return [hdr + finalize_host(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
+                for i in range(batch)]
+
     outs = run_once()                        # compile + warm
     assert outs[0][:2] == b"\xff\xd8" and outs[0][-2:] == b"\xff\xd9"
+    # sustained pipelined loop: batch k+1's device compute is queued before
+    # batch k's results are fetched/assembled, so the download + host
+    # stuffing overlap the next batch's encode (async dispatch)
+    pending = launch()
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        outs = run_once()
+    for _ in range(n_iter - 1):
+        nxt = launch()
+        outs = collect(pending)
+        pending = nxt
+    outs = collect(pending)
     return (time.perf_counter() - t0) / n_iter, outs
 
 

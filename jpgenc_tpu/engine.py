@@ -239,6 +239,8 @@ def scan_to_segments_blocked(zz_scan: jnp.ndarray, plan: SymbolPlan,
         use_pallas = use_pallas_default()
     spb = zz_scan.shape[0] // n_seg
     w_seg = spb * w_blk + 2
+    if not use_pallas and zz_scan.dtype != jnp.int32:
+        zz_scan = zz_scan.astype(jnp.int32)   # jnp path expects i32 blocks
     if use_pallas:
         from jpgenc_tpu.ops.pallas.block_pack import (fused_block_pack,
                                                       packed_tables,

@@ -78,7 +78,7 @@ from jpgenc_tpu.ops.pack import _shift_into_word  # noqa: E402  (shared bit help
 def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
             ac_rows_ref, dc_rows_ref, misc_ref,
             buf_ref, bits_ref, *, w_blk: int):
-    v = zz_ref[:]                                    # [T, 64] i32
+    v = zz_ref[:].astype(_I32)                       # [T, 64] (i16 from K1)
     t = v.shape[0]
     pos = jax.lax.broadcasted_iota(_I32, (t, 64), 1)
 
@@ -255,7 +255,7 @@ def fused_block_pack(zz_scan: jnp.ndarray, dcdiff: jnp.ndarray,
 def slot_metadata(plan: SymbolPlan, zz_scan: jnp.ndarray):
     """XLA-side pre-pass: DC diffs (small gather) + per-slot table ids."""
     s = zz_scan.shape[0]
-    dc = zz_scan[:, 0]
+    dc = zz_scan[:, 0].astype(_I32)       # zz may arrive as i16 from K1
     prev_idx = jnp.clip(plan.prev_same, 0, s - 1)
     prev_dc = jnp.where(plan.prev_same >= 0, dc[prev_idx], 0)
     diff = dc - prev_dc

@@ -120,13 +120,16 @@ def _color_kernel(x_ref, bdy_ref, sc_ref, q_ref, out_ref, *, nb: int):
     cb_zz = jnp.dot(cb, sc_ref[:], precision=hp)    # [T, 64]
     cr_zz = jnp.dot(cr, sc_ref[:], precision=hp)
     out = jnp.concatenate([y_zz, cb_zz, cr_zz], axis=1) / q_ref[:]
-    out_ref[:] = round_half_away(out).astype(jnp.int32)
+    # quantized coefficients fit i16 (|coef| <= 1024): halves the HBM round
+    # trip into the entropy kernel
+    out_ref[:] = round_half_away(out).astype(jnp.int32).astype(jnp.int16)
 
 
 def _gray_kernel(x_ref, k_ref, q_ref, out_ref):
     x = x_ref[:].astype(jnp.int32).astype(_F32) - _F32(128.0)   # [T, 64]
     out = jnp.dot(x, k_ref[:], precision=jax.lax.Precision.HIGHEST)
-    out_ref[:] = round_half_away(out / q_ref[:]).astype(jnp.int32)
+    out_ref[:] = round_half_away(out / q_ref[:]).astype(jnp.int32).astype(
+        jnp.int16)
 
 
 # ---------------------------------------------------------------------------
@@ -144,9 +147,10 @@ def _pad_rows(x: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
 def fused_pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
                          qtabs: jnp.ndarray,
                          interpret: bool = False) -> jnp.ndarray:
-    """u8 image -> [n_seg * blocks_per_segment, 64] i32 zigzag blocks in
-    interleaved scan order — the Pallas form of engine.pixels_to_scan.
-    Supports every mode ('gray'/'444'/'422'/'420')."""
+    """u8 image -> [n_seg * blocks_per_segment, 64] int16 zigzag blocks in
+    interleaved scan order — the Pallas form of engine.pixels_to_scan (the
+    narrower dtype halves the HBM round trip into the entropy kernel; the
+    values are identical). Supports every mode ('gray'/'444'/'422'/'420')."""
     from jpgenc_tpu.ops import color as C
 
     s_pad = layout.n_segments * layout.blocks_per_segment
@@ -173,7 +177,7 @@ def fused_pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
             ],
             out_specs=pl.BlockSpec((TILE_MCU, 64), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, 64), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n_pad, 64), jnp.int16),
             interpret=interpret,
         )(x, k, q)
         zzb = out[:blocks.shape[0]]
@@ -197,7 +201,7 @@ def fused_pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
             ],
             out_specs=pl.BlockSpec((TILE_MCU, l_out), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, l_out), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((n_pad, l_out), jnp.int16),
             interpret=interpret,
         )(x, bd_y, sc, q_out)
         # [n_mcu, (nb+2)*64] IS the interleaved scan order: trailing reshape
