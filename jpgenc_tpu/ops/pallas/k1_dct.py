@@ -85,6 +85,103 @@ def build_operators(layout: FrameLayout, qtabs: jnp.ndarray):
     return bd_y, sc, q_out
 
 
+#: color path variant: the dense byte-slot operator folds channel
+#: deinterleave + color transform + subsample + DCT + zigzag into ONE
+#: matmul, so the XLA prologue only moves u32 WORDS (4x fewer elements than
+#: the u8 MCU repack, which ran at ~3.4 GB/s and dominated the kernel).
+K1_DENSE = True
+
+
+@functools.lru_cache(maxsize=16)
+def _dense_operator(hs: int, vs: int, basis: str = "byte_slot"
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """(M [4L, (nb+2)*64], bias [1, (nb+2)*64]) fused color+subsample+DCT+
+    zigzag operator over raw interleaved-RGB MCU bytes.
+
+    basis selects the input-lane ordering:
+      'byte_slot': lane = L*kb + (r*wpr + j) — byte kb of MCU word (r, j)
+        (little-endian bitcast), the layout `_dense_kernel`'s 4-way
+        shift-extract + concat produces.
+      'row_major': lane = ((r*4 + kb)*wpr + j) — the layout
+        `_dense_dma_kernel`'s per-row extract + concat produces.
+    bias carries the luma level shift (DCT of the constant -128 plane —
+    chroma's +-128 cancels exactly in the BT.601 affine).
+    """
+    mh, mw = 8 * vs, 8 * hs
+    nb = hs * vs
+    wpr = mw * 3 // 4                  # u32 words per MCU pixel row
+    lw = mh * wpr                      # words per MCU
+    n_out = (nb + 2) * 64
+    k = np.asarray(_KDCT_ZZ, np.float64)     # [64, 64] pixel -> zz coef
+    cy = (0.299, 0.587, 0.114)
+    ccb = (-0.168735892, -0.331264108, 0.5)
+    ccr = (0.5, -0.418687589, -0.081312411)
+    m = np.zeros((4 * lw, n_out), np.float64)
+    for w in range(lw):
+        r, j = divmod(w, wpr)
+        for kb in range(4):
+            px, c = divmod(4 * j + kb, 3)
+            if basis == "byte_slot":
+                lane = lw * kb + w
+            else:
+                lane = (r * 4 + kb) * wpr + j
+            blk = (r // 8) * hs + (px // 8)
+            pos = (r % 8) * 8 + (px % 8)
+            m[lane, blk * 64:(blk + 1) * 64] += cy[c] * k[pos]
+            cpos = (r // vs) * 8 + (px // hs)
+            wgt = 1.0 / (hs * vs)
+            m[lane, nb * 64:(nb + 1) * 64] += ccb[c] * wgt * k[cpos]
+            m[lane, (nb + 1) * 64:] += ccr[c] * wgt * k[cpos]
+    bias = np.concatenate([np.tile(-128.0 * k.sum(axis=0), nb),
+                           np.zeros(128)])
+    return m.astype(np.float32), bias.astype(np.float32).reshape(1, -1)
+
+
+def _dense_dma_kernel(x_ref, m_ref, bias_ref, q_ref, out_ref, *, mh: int):
+    """One MCU row per grid step; the BlockSpec DMA already gathered the
+    [1, mh, mx, wpr] word block, so the MCU 'transpose' is mh static
+    sublane slices + a lane concat — no XLA transpose anywhere."""
+    parts = []
+    for r in range(mh):
+        xr = x_ref[0, r]                             # [mx, wpr] i32
+        for kb in range(4):
+            parts.append(((xr >> (8 * kb)) & 255).astype(_F32))
+    x = jnp.concatenate(parts, axis=1)               # [mx, mh*4*wpr]
+    out = jnp.dot(x, m_ref[:],
+                  precision=jax.lax.Precision.HIGHEST) + bias_ref[:]
+    out_ref[:] = round_half_away(out / q_ref[:]).astype(jnp.int32).astype(
+        jnp.int16)
+
+
+def mcu_pack_words(img_padded: jnp.ndarray, layout: FrameLayout) -> jnp.ndarray:
+    """Padded [Hp, Wp, 3] u8 -> [n_mcu, words_per_mcu] i32 (u32 bitcast).
+
+    Word-granular MCU repack: 4x fewer elements to move than the u8 repack;
+    byte order inside each word is the little-endian bitcast the dense
+    operator's byte-slot basis assumes.
+    """
+    c0 = layout.comps[0]
+    mh, mw = 8 * c0.vs, 8 * c0.hs
+    my, mx = layout.mcus_y, layout.mcus_x
+    wpr = mw * 3 // 4
+    words = jax.lax.bitcast_convert_type(
+        img_padded.reshape(c0.plane_h, -1, 4), jnp.uint32)  # [Hp, Wp*3/4]
+    x = (words.reshape(my, mh, mx, wpr)
+         .transpose(0, 2, 1, 3)
+         .reshape(my * mx, mh * wpr))
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _dense_kernel(xw_ref, m_ref, bias_ref, q_ref, out_ref):
+    xw = xw_ref[:]                                   # [T, L] words (i32)
+    parts = [((xw >> (8 * kb)) & 255).astype(_F32) for kb in range(4)]
+    x = jnp.concatenate(parts, axis=1)               # [T, 4L] byte-slot
+    out = jnp.dot(x, m_ref[:],
+                  precision=jax.lax.Precision.HIGHEST) + bias_ref[:]
+    out_ref[:] = round_half_away(out / q_ref[:]).astype(jnp.int32).astype(
+        jnp.int16)
+
+
 def mcu_pack(img_padded: jnp.ndarray, layout: FrameLayout) -> jnp.ndarray:
     """Padded [Hp, Wp, 3] u8 -> [n_mcu, 3*nb*64] u8 (pure layout ops).
 
@@ -183,29 +280,90 @@ def fused_pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
         zzb = out[:blocks.shape[0]]
     else:
         nb = c0.hs * c0.vs
-        bd_y, sc, q_out = build_operators(layout, qtabs)
-        mcus = mcu_pack(padded, layout)             # [n_mcu, 3*nb*64] u8
-        x, n_pad = _pad_rows(mcus, TILE_MCU)        # u8 straight into VMEM
-        grid = n_pad // TILE_MCU
-        l_in = 3 * nb * 64
         l_out = (nb + 2) * 64
-        out = pl.pallas_call(
-            functools.partial(_color_kernel, nb=nb),
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec((TILE_MCU, l_in), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((TILE_MCU, l_out), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_pad, l_out), jnp.int16),
-            interpret=interpret,
-        )(x, bd_y, sc, q_out)
+        if K1_DENSE:
+            zzi = np.asarray(T.ZIGZAG)
+            q_y = qtabs[0].reshape(64).astype(_F32)[zzi]
+            q_c = qtabs[1].reshape(64).astype(_F32)[zzi]
+            q_out = jnp.concatenate([jnp.tile(q_y, nb), q_c, q_c]
+                                    ).reshape(1, -1)
+            mh = 8 * c0.vs
+            mx, my = layout.mcus_x, layout.mcus_y
+            wpr = (8 * c0.hs) * 3 // 4
+            # lane dim wpr pads to 128 in VMEM: bound the per-step block
+            if mh * mx * 128 * 4 <= (4 << 20):
+                # preferred: BlockSpec DMA gathers each MCU row's words
+                # straight from the natural image layout — no XLA transpose
+                # (XLA u8/u32 transposes run at ~3.4 GB/s on this chip and
+                # dominated the kernel)
+                m_np, bias_np = _dense_operator(c0.hs, c0.vs, "row_major")
+                words = jax.lax.bitcast_convert_type(
+                    padded.reshape(c0.plane_h, -1, 4), jnp.uint32)
+                x4 = jax.lax.bitcast_convert_type(words, jnp.int32).reshape(
+                    my, mh, mx, wpr)
+                out = pl.pallas_call(
+                    functools.partial(_dense_dma_kernel, mh=mh),
+                    grid=(my,),
+                    in_specs=[
+                        pl.BlockSpec((1, mh, mx, wpr),
+                                     lambda i: (i, 0, 0, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((mx, l_out), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((my * mx, l_out),
+                                                   jnp.int16),
+                    interpret=interpret,
+                )(x4, jnp.asarray(m_np), jnp.asarray(bias_np), q_out)
+            else:
+                m_np, bias_np = _dense_operator(c0.hs, c0.vs)
+                x, n_pad = _pad_rows(mcu_pack_words(padded, layout),
+                                     TILE_MCU)
+                grid = n_pad // TILE_MCU
+                lw = x.shape[1]
+                out = pl.pallas_call(
+                    _dense_kernel,
+                    grid=(grid,),
+                    in_specs=[
+                        pl.BlockSpec((TILE_MCU, lw), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                        pl.BlockSpec(memory_space=pltpu.VMEM),
+                    ],
+                    out_specs=pl.BlockSpec((TILE_MCU, l_out),
+                                           lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((n_pad, l_out),
+                                                   jnp.int16),
+                    interpret=interpret,
+                )(x, jnp.asarray(m_np), jnp.asarray(bias_np), q_out)
+        else:
+            bd_y, sc, q_out = build_operators(layout, qtabs)
+            mcus = mcu_pack(padded, layout)         # [n_mcu, 3*nb*64] u8
+            x, n_pad = _pad_rows(mcus, TILE_MCU)    # u8 straight into VMEM
+            grid = n_pad // TILE_MCU
+            l_in = 3 * nb * 64
+            out = pl.pallas_call(
+                functools.partial(_color_kernel, nb=nb),
+                grid=(grid,),
+                in_specs=[
+                    pl.BlockSpec((TILE_MCU, l_in), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((TILE_MCU, l_out), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n_pad, l_out), jnp.int16),
+                interpret=interpret,
+            )(x, bd_y, sc, q_out)
         # [n_mcu, (nb+2)*64] IS the interleaved scan order: trailing reshape
-        zzb = out[:mcus.shape[0]].reshape(-1, 64)
+        zzb = out[:layout.n_mcus].reshape(-1, 64)
     if s_pad > zzb.shape[0]:
         zzb = jnp.pad(zzb, ((0, s_pad - zzb.shape[0]), (0, 0)))
     return zzb

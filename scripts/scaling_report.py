@@ -56,13 +56,20 @@ def main() -> int:
         fps = args.batch / dt
         if base is None:
             base = fps
-        print(json.dumps({
+        row = {
             "devices": n,
             "frames_per_s": round(fps, 2),
             "speedup": round(fps / base, 2),
             "efficiency": round(fps / base / n, 3),
             "bytes0": len(outs[0]),
-        }), flush=True)
+        }
+        if all_devs[0].platform == "cpu":
+            # virtual CPU devices SHARE the host's physical cores: total
+            # compute throughput is fixed, so speedup here validates the
+            # sharding/collective semantics, not the chips-scaling curve —
+            # run on a real slice for that (BASELINE.json:5 target)
+            row["note"] = "virtual CPU devices share cores; semantics check"
+        print(json.dumps(row), flush=True)
     return 0
 
 
