@@ -30,7 +30,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 TARGET_MPIX_S = 625.0  # 10 GPix/s / 16 chips (BASELINE.json:5)
-H, W, B = 1080, 1920, 8
+H, W = 1080, 1920
+B = int(os.environ.get("BENCH_BATCH", "64"))
 
 
 def _log(msg: str) -> None:
@@ -68,14 +69,20 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
     cap_u = fns["caps"][0]
     guess = [4096]   # adaptive prefix-length guess (bytes), per stream
 
-    def run_once():
+    def launch():
+        # enqueue the prefix slice IMMEDIATELY behind its own encode: if it
+        # were enqueued at collect time it would sit in the device queue
+        # behind the NEXT batch's encode, serializing the pipeline
         u, nbytes, ovf = fns["encode_bytes"](
             frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
+        return prefix_slice(u, guess[0] - 1), nbytes, ovf, u
+
+    def collect(pend):
+        up_dev, nbytes, ovf, u = pend
         # speculative single round trip: fetch metadata AND a guessed prefix
         # in one device_get (each separate sync costs a full dispatch on
         # this link); refetch only if the guess fell short
-        up, nb, ov = jax.device_get(
-            (prefix_slice(u, guess[0] - 1), nbytes, ovf))
+        up, nb, ov = jax.device_get((up_dev, nbytes, ovf))
         total = int(nb.sum(axis=1).max())
         assert not ov.any() and total <= cap_u, \
             "capacity tier overflow — bench config needs a bigger tier"
@@ -85,24 +92,7 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
         return [hdr + finalize_host(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
                 for i in range(batch)]
 
-    def launch():
-        return fns["encode_bytes"](
-            frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
-
-    def collect(pend):
-        u, nbytes, ovf = pend
-        up, nb, ov = jax.device_get(
-            (prefix_slice(u, guess[0] - 1), nbytes, ovf))
-        total = int(nb.sum(axis=1).max())
-        assert not ov.any() and total <= cap_u, \
-            "capacity tier overflow — bench config needs a bigger tier"
-        if total > up.shape[-1]:
-            up = fetch_prefix(u, total)
-        guess[0] = max(total, 4096)
-        return [hdr + finalize_host(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
-                for i in range(batch)]
-
-    outs = run_once()                        # compile + warm
+    outs = collect(launch())                 # compile + warm
     assert outs[0][:2] == b"\xff\xd8" and outs[0][-2:] == b"\xff\xd9"
     # sustained pipelined loop: batch k+1's device compute is queued before
     # batch k's results are fetched/assembled, so the download + host
