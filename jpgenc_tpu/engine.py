@@ -317,10 +317,26 @@ class DevicePlan:
             lay, n_seg = self.layout, self.n_seg
             use_pallas = use_pallas_default()
 
+            from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
+            fuse_k1a = use_pallas and k1a_applicable(lay)
+
             @jax.jit
             def _encode_bytes(img, qtabs, plan, scan_flat, luts):
-                zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
-                w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
+                if fuse_k1a:
+                    # single-kernel pixels->packed-blocks: the zigzag tensor
+                    # never round-trips HBM (ops/pallas/k1a_fused.py)
+                    from jpgenc_tpu.ops.pallas.block_pack import packed_tables
+                    from jpgenc_tpu.ops.pallas.k1a_fused import \
+                        fused_pixels_to_pack
+                    from jpgenc_tpu.ops.pallas.seg_merge import fused_seg_merge
+                    buf, bits = fused_pixels_to_pack(
+                        img, lay, qtabs, packed_tables(luts), w_blk)
+                    w, b = fused_seg_merge(buf, bits, n_seg, w_blk)
+                    ovf = jnp.max(bits) > w_blk * 32
+                else:
+                    zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
+                    w, b, ovf = scan_to_segments_blocked(zz, plan, luts,
+                                                         n_seg, w_blk)
                 return compact_unstuffed(w, b, cap_u) + (ovf,)
 
             @jax.jit

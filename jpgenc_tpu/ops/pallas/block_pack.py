@@ -75,14 +75,14 @@ def _shl(v, s):
 from jpgenc_tpu.ops.pack import _shift_into_word  # noqa: E402  (shared bit helper)
 
 
-def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
-            ac_rows_ref, dc_rows_ref, misc_ref,
-            buf_ref, bits_ref, *, w_blk: int):
-    v = zz_ref[:].astype(_I32)                       # [T, 64] (i16 from K1)
+def _ac_analysis(v):
+    """Zigzag rows [t, 64] i32 -> (pos, nz, run, s_ac, amp_ac, sym).
+
+    Branch-free T.81 F.1.2.2 run-length analysis (cummax prefix) plus
+    SSSS/amplitude coding per AC lane. Shared by the standalone entropy
+    kernel below and the fused K1+A kernel (k1a_fused)."""
     t = v.shape[0]
     pos = jax.lax.broadcasted_iota(_I32, (t, 64), 1)
-
-    # --- AC run lengths (T.81 F.1.2.2), branch-free
     nz = (v != 0) & (pos > 0)
     marker = jnp.where(nz, pos, 0)
     incl = marker
@@ -94,6 +94,24 @@ def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
     amp_ac = jnp.where(v >= 0, v, v + (_I32(1) << s_ac) - 1) & \
         ((_I32(1) << s_ac) - 1)
     sym = ((run & 15) << 4) | s_ac
+    return pos, nz, run, s_ac, amp_ac, sym
+
+
+def _dc_piece(dcdiff):
+    """DC diff [t, 1] i32 -> (s_dc, amp_dc)."""
+    s_dc = _ssss(dcdiff)
+    amp_dc = jnp.where(dcdiff >= 0, dcdiff,
+                       dcdiff + (_I32(1) << s_dc) - 1) & \
+        ((_I32(1) << s_dc) - 1)
+    return s_dc, amp_dc
+
+
+def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
+            ac_rows_ref, dc_rows_ref, misc_ref,
+            buf_ref, bits_ref, *, w_blk: int):
+    v = zz_ref[:].astype(_I32)                       # [T, 64] (i16 from K1)
+    t = v.shape[0]
+    pos, nz, run, s_ac, amp_ac, sym = _ac_analysis(v)
 
     # --- Huffman LUT lookups: 4 candidate lane-gathers + selects
     actab = actab_ref[:]                             # [T, 1]
@@ -113,10 +131,7 @@ def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
 
     # --- DC piece (slot position 0)
     dcdiff = dcdiff_ref[:]                           # [T, 1]
-    s_dc = _ssss(dcdiff)
-    amp_dc = jnp.where(dcdiff >= 0, dcdiff,
-                       dcdiff + (_I32(1) << s_dc) - 1) & \
-        ((_I32(1) << s_dc) - 1)
+    s_dc, amp_dc = _dc_piece(dcdiff)
     s_dc128 = jnp.broadcast_to(s_dc, (t, 128))
     d0 = jnp.take_along_axis(
         jnp.broadcast_to(dc_rows_ref[0:1, :], (t, 128)), s_dc128, axis=1)[:, :1]
@@ -128,7 +143,20 @@ def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
     zrl = jnp.where(actab == 0, misc_ref[0, 0], misc_ref[0, 1])  # [T, 1]
     eob = jnp.where(actab == 0, misc_ref[0, 2], misc_ref[0, 3])
 
-    # --- main piece per lane: AC value symbol; EOB at 63; DC at 0
+    buf, total = _pack_slots(pos, nz, run, s_ac, amp_ac, e_ac,
+                             s_dc, amp_dc, e_dc, zrl, eob, valid, w_blk)
+    buf_ref[:] = buf
+    bits_ref[:] = total
+
+
+def _pack_slots(pos, nz, run, s_ac, amp_ac, e_ac, s_dc, amp_dc, e_dc,
+                zrl, eob, valid, w_blk: int):
+    """Per-slot pieces -> (packed words [t, w_blk] u32, total bits [t, 1]).
+
+    e_ac [t, 64] / e_dc [t, 1] / zrl / eob are packed (code<<5)|len entries;
+    valid [t, 1] bool masks whole slots to zero length. Shared tail of the
+    entropy kernels (registers, in-block prefix, funnel-shift merge)."""
+    t = pos.shape[0]
     code_ac = (e_ac >> 5).astype(_U32)
     clen_ac = e_ac & 31
     main_val = (_shl(code_ac, s_ac)) | amp_ac.astype(_U32)
@@ -197,9 +225,8 @@ def _kernel(zz_ref, dcdiff_ref, actab_ref, dctab_ref, valid_ref,
             acc = acc | jnp.where(d == w - j,
                                   jax.lax.bitcast_convert_type(w4[j], _I32), 0)
         cols.append(jnp.sum(acc, axis=1))
-    buf_ref[:] = jax.lax.bitcast_convert_type(jnp.stack(cols, axis=1), _U32)
-
-    bits_ref[:] = total
+    buf = jax.lax.bitcast_convert_type(jnp.stack(cols, axis=1), _U32)
+    return buf, total
 
 
 @functools.partial(jax.jit, static_argnames=("w_blk", "interpret"))

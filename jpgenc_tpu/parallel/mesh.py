@@ -171,10 +171,23 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         zz = blocks_to_scan(blocks, scan_flat)
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
+    from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
+    fuse_k1a = use_pallas and k1a_applicable(lay)
+
     def _enc1_bytes(img, qtabs, splan, scan_flat, luts):
-        zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
-        w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
-                                             use_pallas=use_pallas)
+        if fuse_k1a:
+            # single-kernel pixels->packed-blocks (ops/pallas/k1a_fused.py)
+            from jpgenc_tpu.ops.pallas.block_pack import packed_tables
+            from jpgenc_tpu.ops.pallas.k1a_fused import fused_pixels_to_pack
+            from jpgenc_tpu.ops.pallas.seg_merge import fused_seg_merge
+            buf, bits = fused_pixels_to_pack(
+                img, lay, qtabs, packed_tables(luts), w_blk)
+            w, b = fused_seg_merge(buf, bits, n_seg, w_blk)
+            ovf = jnp.max(bits) > w_blk * 32
+        else:
+            zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
+            w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg,
+                                                 w_blk, use_pallas=use_pallas)
         return compact_unstuffed(w, b, cap_u) + (ovf,)
 
     def _blocks1(img, qtabs):

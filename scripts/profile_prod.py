@@ -24,7 +24,7 @@ from jpgenc_tpu.ops.pallas.seg_merge import fused_seg_merge
 from jpgenc_tpu.ref.encoder import standard_tables
 from jpgenc_tpu.utils.fixtures import synth_frame
 
-H, W, B = 1080, 1920, 8
+H, W, B = 1080, 1920, int(__import__("os").environ.get("PB", "8"))
 N = 8
 
 

@@ -79,6 +79,39 @@ def test_kernel_a_vs_jnp(tpu, frame):
     np.testing.assert_array_equal(np.asarray(buf), np.asarray(rbuf))
 
 
+def test_k1a_fused_vs_split(tpu, frame):
+    """Fused K1+A == split K1 -> metadata -> kernel A, ON HARDWARE.
+
+    Both paths use the same dense operator and matmul shape, so even the
+    MXU accumulation order matches — outputs must be bit-identical."""
+    from jpgenc_tpu.engine import (get_plan, luts_from_tables,
+                                   qtables_for_quality)
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.ops.pallas.block_pack import (fused_block_pack,
+                                                  packed_tables,
+                                                  slot_metadata)
+    from jpgenc_tpu.ops.pallas.k1_dct import fused_pixels_to_scan
+    from jpgenc_tpu.ops.pallas.k1a_fused import (fused_pixels_to_pack,
+                                                 k1a_applicable)
+    from jpgenc_tpu.ref.encoder import standard_tables
+    luts = luts_from_tables(*standard_tables())
+    tabs = packed_tables(luts)
+    _, qt = qtables_for_quality(75)
+    for mode, dri, w_blk in [("420", 0, 8), ("420", 4, 24), ("422", 0, 24)]:
+        layout = make_layout(256, 256, mode, dri)
+        assert k1a_applicable(layout)
+        plan = get_plan(layout)
+        zz = fused_pixels_to_scan(frame, layout, qt)
+        meta = slot_metadata(plan.plan, zz)
+        ref_buf, ref_bits = fused_block_pack(zz, *meta, tables=tabs,
+                                             w_blk=w_blk)
+        buf, bits = fused_pixels_to_pack(frame, layout, qt, tabs, w_blk)
+        np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits),
+                                      err_msg=f"{mode} dri={dri}")
+        np.testing.assert_array_equal(np.asarray(buf), np.asarray(ref_buf),
+                                      err_msg=f"{mode} dri={dri}")
+
+
 def test_kernel_b_vs_jnp(tpu, frame):
     from jpgenc_tpu.engine import (get_plan, luts_from_tables,
                                    pixels_to_scan, qtables_for_quality)

@@ -1,0 +1,62 @@
+"""Fused K1+A kernel (pixels -> per-block packed bitstreams) equality.
+
+The fused kernel must be bit-identical to the split pipeline it replaces
+(fused_pixels_to_scan -> slot_metadata -> fused_block_pack) in interpret
+mode, across subsampling modes, restart intervals (incl. short last
+segments / padded slots), and capacity tiers. The on-hardware half of this
+lane lives in test_hw_tpu.py.
+"""
+import numpy as np
+import pytest
+
+
+CASES = [
+    (128, 192, "420", 0),
+    (120, 168, "420", 3),      # short last segment -> padded slots
+    (64, 80, "422", 2),
+    (48, 56, "444", 0),
+    (112, 144, "420", 1),      # every MCU its own segment
+]
+
+
+@pytest.mark.parametrize("h,w,sub,dri", CASES)
+@pytest.mark.parametrize("w_blk", [8, 24])
+def test_fused_k1a_matches_split_pipeline(h, w, sub, dri, w_blk, rng):
+    from jpgenc_tpu.engine import (get_plan, luts_from_tables,
+                                   qtables_for_quality)
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.ops.pallas.block_pack import (fused_block_pack,
+                                                  packed_tables,
+                                                  slot_metadata)
+    from jpgenc_tpu.ops.pallas.k1_dct import fused_pixels_to_scan
+    from jpgenc_tpu.ops.pallas.k1a_fused import (fused_pixels_to_pack,
+                                                 k1a_applicable)
+    from jpgenc_tpu.ref.encoder import standard_tables
+    from jpgenc_tpu.utils.fixtures import synth_frame
+
+    lay = make_layout(h, w, sub, dri)
+    assert k1a_applicable(lay)
+    plan = get_plan(lay).plan
+    _, qt = qtables_for_quality(75)
+    luts = luts_from_tables(*standard_tables())
+    tabs = packed_tables(luts)
+    img = synth_frame(h, w)
+
+    zz = fused_pixels_to_scan(img, lay, qt, interpret=True)
+    meta = slot_metadata(plan, zz)
+    ref_buf, ref_bits = fused_block_pack(zz, *meta, tables=tabs,
+                                         w_blk=w_blk, interpret=True)
+    buf, bits = fused_pixels_to_pack(img, lay, qt, tabs, w_blk,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits))
+    np.testing.assert_array_equal(np.asarray(buf), np.asarray(ref_buf))
+
+
+def test_k1a_gate():
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
+
+    assert not k1a_applicable(make_layout(64, 64, "gray", 0))
+    assert k1a_applicable(make_layout(2160, 3840, "420", 0))
+    # oversize MCU rows (DMA block > 4 MB) must fall back
+    assert not k1a_applicable(make_layout(64, 70000, "420", 0))
