@@ -121,40 +121,199 @@ def _k1a_kernel(x_ref, m_ref, bias_ref, q_ref,
          for col in (y_cols[nb - 1], cb_dc, cr_dc)], axis=1)   # [1, 3]
     carry_ref[:] = jnp.pad(cvals, ((0, 0), (0, 125)))
 
-    # --- entropy + per-block pack, one 64-lane group per block position.
-    # The Huffman table choice is STATIC per position (Y -> 0, chroma -> 1,
-    # layout.py ComponentLayout), so each group needs only 2 candidate
-    # gathers instead of kernel A's 4 + per-slot selects.
+    # --- entropy + per-block pack. The Huffman table choice is STATIC per
+    # block position (Y -> 0, chroma -> 1, layout.py ComponentLayout).
+    # When the group count is even (420: 6, 422: 4) blocks are processed
+    # TWO PER 128-LANE ROW with half-segmented shifts/prefixes — the
+    # per-block [mx, 64] form leaves half of every vector register empty,
+    # so pairing nearly halves the entropy instruction count. 444 (3
+    # groups) falls back to the per-block loop.
     valid = jnp.ones((mx, 1), jnp.bool_)
     bufs, tots = [], []
-    for blk in range(nb + 2):
-        tab = 0 if blk < nb else 1
-        vb = v[:, blk * 64:(blk + 1) * 64]           # [mx, 64]
-        pos, nz, run, s_ac, amp_ac, sym = _ac_analysis(vb)
-        idx_lo = jnp.pad(sym & 127, ((0, 0), (0, 64)))    # [mx, 128]
-        lo = jnp.take_along_axis(
-            jnp.broadcast_to(ac_rows_ref[2 * tab:2 * tab + 1, :], (mx, 128)),
-            idx_lo, axis=1)[:, :64]
-        hi = jnp.take_along_axis(
-            jnp.broadcast_to(ac_rows_ref[2 * tab + 1:2 * tab + 2, :],
-                             (mx, 128)), idx_lo, axis=1)[:, :64]
-        e_ac = jnp.where(sym >= 128, hi, lo)
+    if (nb + 2) % 2 == 0:
+        for p in range((nb + 2) // 2):
+            bL, bR = 2 * p, 2 * p + 1
+            v2 = v[:, bL * 64:(bR + 1) * 64]         # [mx, 128], offset 0
+            pair = _pair_entropy(v2, dcdiff[bL], dcdiff[bR],
+                                 0 if bL < nb else 1, 0 if bR < nb else 1,
+                                 ac_rows_ref, dc_rows_ref, misc_ref,
+                                 mx, w_blk)
+            bufs.extend(pair[0])
+            tots.extend(pair[1])
+    else:
+        for blk in range(nb + 2):
+            tab = 0 if blk < nb else 1
+            vb = v[:, blk * 64:(blk + 1) * 64]       # [mx, 64]
+            pos, nz, run, s_ac, amp_ac, sym = _ac_analysis(vb)
+            idx_lo = jnp.pad(sym & 127, ((0, 0), (0, 64)))    # [mx, 128]
+            lo = jnp.take_along_axis(
+                jnp.broadcast_to(ac_rows_ref[2 * tab:2 * tab + 1, :],
+                                 (mx, 128)), idx_lo, axis=1)[:, :64]
+            hi = jnp.take_along_axis(
+                jnp.broadcast_to(ac_rows_ref[2 * tab + 1:2 * tab + 2, :],
+                                 (mx, 128)), idx_lo, axis=1)[:, :64]
+            e_ac = jnp.where(sym >= 128, hi, lo)
 
-        s_dc, amp_dc = _dc_piece(dcdiff[blk])
-        e_dc = jnp.take_along_axis(
-            jnp.broadcast_to(dc_rows_ref[tab:tab + 1, :], (mx, 128)),
-            jnp.broadcast_to(s_dc, (mx, 128)), axis=1)[:, :1]
-        zrl = jnp.full((mx, 1), misc_ref[0, tab], _I32)
-        eob = jnp.full((mx, 1), misc_ref[0, 2 + tab], _I32)
+            s_dc, amp_dc = _dc_piece(dcdiff[blk])
+            e_dc = jnp.take_along_axis(
+                jnp.broadcast_to(dc_rows_ref[tab:tab + 1, :], (mx, 128)),
+                jnp.broadcast_to(s_dc, (mx, 128)), axis=1)[:, :1]
+            zrl = jnp.full((mx, 1), misc_ref[0, tab], _I32)
+            eob = jnp.full((mx, 1), misc_ref[0, 2 + tab], _I32)
 
-        buf, total = _pack_slots(pos, nz, run, s_ac, amp_ac, e_ac,
-                                 s_dc, amp_dc, e_dc, zrl, eob, valid, w_blk)
-        bufs.append(jax.lax.bitcast_convert_type(buf, _I32))
-        tots.append(total)
+            buf, total = _pack_slots(pos, nz, run, s_ac, amp_ac, e_ac,
+                                     s_dc, amp_dc, e_dc, zrl, eob, valid,
+                                     w_blk)
+            bufs.append(jax.lax.bitcast_convert_type(buf, _I32))
+            tots.append(total)
 
     buf_ref[:] = jax.lax.bitcast_convert_type(
         jnp.concatenate(bufs, axis=1), jnp.uint32)   # [mx, (nb+2)*w_blk]
     bits_ref[:] = jnp.concatenate(tots, axis=1)      # [mx, nb+2]
+
+
+def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
+                  ac_rows_ref, dc_rows_ref, misc_ref, mx: int, w_blk: int):
+    """Entropy + per-block pack for TWO zigzag blocks sharing one 128-lane
+    row (left half lanes 0-63, right half 64-127).
+
+    Same math as block_pack._ac_analysis + _pack_slots but with shifts and
+    prefixes SEGMENTED at the half boundary (shift-ins masked to zero, the
+    identity for both the max-prefix and the sum-prefix), so nothing leaks
+    between the two blocks. The Huffman gathers run at the full 128-lane
+    width Mosaic requires — no pad-and-slice, and both halves gather in one
+    instruction. Returns ([2*w_blk] list of [mx, 1] word columns, block-
+    major: left block's words then right's, plus [tot_l, tot_r])."""
+    from jpgenc_tpu.ops.pack import _shift_into_word
+    from jpgenc_tpu.ops.pallas.block_pack import _lane_shift_right, _shl, _ssss
+
+    t = mx
+    _U32 = jnp.uint32
+    lane = jax.lax.broadcasted_iota(_I32, (t, 128), 1)
+    pos = lane & 63                                  # position within block
+    left = lane < 64
+
+    def seg_shift(x, sh):
+        return jnp.where(pos >= sh, _lane_shift_right(x, sh), 0)
+
+    # --- AC run lengths, segmented (T.81 F.1.2.2)
+    nz = (v2 != 0) & (pos > 0)
+    marker = jnp.where(nz, pos, 0)
+    incl = marker
+    for sh in (1, 2, 4, 8, 16, 32):
+        incl = jnp.maximum(incl, seg_shift(incl, sh))
+    prev_nz = seg_shift(incl, 1)
+    run = pos - prev_nz - 1
+    s_ac = _ssss(v2)
+    amp_ac = jnp.where(v2 >= 0, v2, v2 + (_I32(1) << s_ac) - 1) & \
+        ((_I32(1) << s_ac) - 1)
+    sym = ((run & 15) << 4) | s_ac
+
+    # --- Huffman AC lookup: full-width gathers, one per candidate row
+    idx = sym & 127                                  # [t, 128]
+
+    def ac_gather(row):
+        return jnp.take_along_axis(
+            jnp.broadcast_to(ac_rows_ref[row:row + 1, :], (t, 128)),
+            idx, axis=1)
+
+    if tab_l == tab_r:
+        lo = ac_gather(2 * tab_l)
+        hi = ac_gather(2 * tab_l + 1)
+    else:
+        lo = jnp.where(left, ac_gather(2 * tab_l), ac_gather(2 * tab_r))
+        hi = jnp.where(left, ac_gather(2 * tab_l + 1),
+                       ac_gather(2 * tab_r + 1))
+    e_ac = jnp.where(sym >= 128, hi, lo)
+
+    # --- DC pieces, one per half
+    dcv = []
+    for dcd, tab in ((dcd_l, tab_l), (dcd_r, tab_r)):
+        s_dc, amp_dc = _dc_piece(dcd)                # [t, 1]
+        e_dc = jnp.take_along_axis(
+            jnp.broadcast_to(dc_rows_ref[tab:tab + 1, :], (t, 128)),
+            jnp.broadcast_to(s_dc, (t, 128)), axis=1)[:, :1]
+        code_dc = (e_dc >> 5).astype(_U32)
+        dc_val = _shl(code_dc, s_dc) | amp_dc.astype(_U32)
+        dc_len = (e_dc & 31) + s_dc
+        dcv.append((dc_val, dc_len))
+    dc_val = jnp.where(left, jnp.broadcast_to(dcv[0][0], (t, 128)),
+                       jnp.broadcast_to(dcv[1][0], (t, 128)))
+    dc_len = jnp.where(left, jnp.broadcast_to(dcv[0][1], (t, 128)),
+                       jnp.broadcast_to(dcv[1][1], (t, 128)))
+
+    # --- ZRL / EOB entries per half (scalars from SMEM)
+    def half_entry(col_l, col_r):
+        if col_l == col_r:
+            return jnp.full((t, 128), misc_ref[0, col_l], _I32)
+        return jnp.where(left, jnp.full((t, 128), misc_ref[0, col_l], _I32),
+                         jnp.full((t, 128), misc_ref[0, col_r], _I32))
+
+    zrl_e = half_entry(tab_l, tab_r)
+    eob_e = half_entry(2 + tab_l, 2 + tab_r)
+
+    # --- main piece per lane: AC value symbol; EOB at 63; DC at 0
+    code_ac = (e_ac >> 5).astype(_U32)
+    clen_ac = e_ac & 31
+    main_val = _shl(code_ac, s_ac) | amp_ac.astype(_U32)
+    main_len = jnp.where(nz, clen_ac + s_ac, 0)
+
+    at63 = pos == 63
+    eob_here = at63 & ~nz                            # this half's last AC == 0
+    main_val = jnp.where(eob_here, (eob_e >> 5).astype(_U32), main_val)
+    main_len = jnp.where(eob_here, eob_e & 31, main_len)
+
+    at0 = pos == 0
+    main_val = jnp.where(at0, dc_val, main_val)
+    main_len = jnp.where(at0, dc_len, main_len)
+
+    # --- registers: up to 3 ZRL pieces then the main piece (96-bit)
+    n_zrl = jnp.where(nz, run >> 4, 0)
+    zval = (zrl_e >> 5).astype(_U32)
+    zlen = zrl_e & 31
+    reg = [jnp.zeros((t, 128), _U32) for _ in range(3)]
+    p_off = jnp.zeros((t, 128), _I32)
+    for p in range(4):
+        if p < 3:
+            on = n_zrl > p
+            pv = jnp.where(on, zval, _U32(0))
+            plen = jnp.where(on, zlen, 0)
+        else:
+            pv = main_val
+            plen = main_len
+        a = 96 - p_off - plen
+        for w in range(3):
+            reg[w] = reg[w] | _shift_into_word(pv, a - 64 + 32 * w)
+        p_off = p_off + plen
+    slen = p_off
+
+    # --- segmented exclusive prefix of bit offsets
+    csum = slen
+    for sh in (1, 2, 4, 8, 16, 32):
+        csum = csum + seg_shift(csum, sh)
+    off = csum - slen
+    tot_l = jnp.sum(jnp.where(at63 & left, csum, 0), axis=1, keepdims=True)
+    tot_r = jnp.sum(jnp.where(at63 & ~left, csum, 0), axis=1, keepdims=True)
+
+    d = off >> 5
+    r = off & 31
+
+    w4 = []
+    for j in range(4):
+        lo_w = reg[j] if j <= 2 else jnp.zeros((t, 128), _U32)
+        hi_w = reg[j - 1] if 1 <= j <= 3 else jnp.zeros((t, 128), _U32)
+        w4.append(_shift_into_word(lo_w, -r) | _shift_into_word(hi_w, 32 - r))
+
+    # --- merge: per-word masked accumulation, then per-half lane sums
+    cols_l, cols_r = [], []
+    for w in range(w_blk):
+        acc = jnp.zeros((t, 128), _I32)
+        for j in range(4):
+            acc = acc | jnp.where(d == w - j,
+                                  jax.lax.bitcast_convert_type(w4[j], _I32), 0)
+        cols_l.append(jnp.sum(jnp.where(left, acc, 0), axis=1, keepdims=True))
+        cols_r.append(jnp.sum(jnp.where(left, 0, acc), axis=1, keepdims=True))
+    return cols_l + cols_r, [tot_l, tot_r]
 
 
 def k1a_applicable(layout: FrameLayout) -> bool:
