@@ -62,34 +62,34 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
     """Timed device-pipeline encode -> (sec/batch, files)."""
     import jax
 
-    from jpgenc_tpu.engine import fetch_prefix, finalize_host, prefix_slice
+    from jpgenc_tpu.engine import fetch_prefix, finalize_host_w, prefix_slice
 
     n_rst = layout.n_segments - 1
 
-    cap_u = fns["caps"][0]
-    guess = [4096]   # adaptive prefix-length guess (bytes), per stream
+    cap_w = fns["caps"][0] // 4
+    guess = [1024]   # adaptive prefix-length guess (u32 words), per stream
 
     def launch():
         # enqueue the prefix slice IMMEDIATELY behind its own encode: if it
         # were enqueued at collect time it would sit in the device queue
         # behind the NEXT batch's encode, serializing the pipeline
-        u, nbytes, ovf = fns["encode_bytes"](
+        u, nbits, ovf = fns["encode_bytes"](
             frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
-        return prefix_slice(u, guess[0] - 1), nbytes, ovf, u
+        return prefix_slice(u, guess[0] - 1), nbits, ovf, u
 
     def collect(pend):
-        up_dev, nbytes, ovf, u = pend
+        up_dev, nbits, ovf, u = pend
         # speculative single round trip: fetch metadata AND a guessed prefix
         # in one device_get (each separate sync costs a full dispatch on
         # this link); refetch only if the guess fell short
-        up, nb, ov = jax.device_get((up_dev, nbytes, ovf))
-        total = int(nb.sum(axis=1).max())
-        assert not ov.any() and total <= cap_u, \
+        up, nb, ov = jax.device_get((up_dev, nbits, ovf))
+        total_w = int(((nb + 31) >> 5).sum(axis=1).max())
+        assert not ov.any() and total_w <= cap_w, \
             "capacity tier overflow — bench config needs a bigger tier"
-        if total > up.shape[-1]:
-            up = fetch_prefix(u, total)
-        guess[0] = max(total, 4096)
-        return [hdr + finalize_host(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
+        if total_w > up.shape[-1]:
+            up = fetch_prefix(u, total_w)
+        guess[0] = max(total_w, 1024)
+        return [hdr + finalize_host_w(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
                 for i in range(batch)]
 
     outs = collect(launch())                 # compile + warm

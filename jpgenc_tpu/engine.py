@@ -30,7 +30,8 @@ from jpgenc_tpu.ops import transform as X
 from jpgenc_tpu.ops.entropy import EntropyLUTs, SymbolPlan, make_pieces, symbol_histogram
 from jpgenc_tpu.ops.pack import (MAX_BLOCK_BITS, block_pack, compact_unstuffed,
                                  pack_segments, segments_from_blocks,
-                                 w_blk_for_quality, words_per_segment)
+                                 w_blk_for_quality, wcompact_unstuffed,
+                                 words_per_segment)
 from jpgenc_tpu.ref.bitio import stuff_bytes
 
 
@@ -300,7 +301,7 @@ class DevicePlan:
         self._entropy = _entropy
         self._hist = _hist
         self._bytes_fns: dict[tuple, dict] = {}
-        self._prefix_guess = 4096   # adaptive speculative-fetch length
+        self._prefix_guess = 1024   # adaptive speculative-fetch length (u32 words)
 
     def bytes_fns(self, cap_u: int, w_blk: int) -> dict:
         """Jitted pixels->compact-unstuffed-scan pipelines for a capacity.
@@ -315,10 +316,11 @@ class DevicePlan:
         key = (cap_u, w_blk)
         if key not in self._bytes_fns:
             lay, n_seg = self.layout, self.n_seg
+            cap_w = cap_u // 4
             use_pallas = use_pallas_default()
 
             from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
-            fuse_k1a = use_pallas and k1a_applicable(lay)
+            fuse_k1a = use_pallas and k1a_applicable(lay, w_blk)
 
             @jax.jit
             def _encode_bytes(img, qtabs, plan, scan_flat, luts):
@@ -337,35 +339,36 @@ class DevicePlan:
                     zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
                     w, b, ovf = scan_to_segments_blocked(zz, plan, luts,
                                                          n_seg, w_blk)
-                return compact_unstuffed(w, b, cap_u) + (ovf,)
+                return wcompact_unstuffed(w, b, cap_w) + (ovf,)
 
             @jax.jit
             def _entropy_bytes(blocks, plan, scan_flat, luts):
                 zz = blocks_to_scan(blocks, scan_flat)
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
-                return compact_unstuffed(w, b, cap_u) + (ovf,)
+                return wcompact_unstuffed(w, b, cap_w) + (ovf,)
 
             self._bytes_fns[key] = {"encode": _encode_bytes,
                                     "entropy": _entropy_bytes}
         return self._bytes_fns[key]
 
     def _finish_bytes(self, outs, cap_u, first_rst, n_rst):
-        u_dev, nbytes_dev, ovf_dev = outs
+        u_dev, nbits_dev, ovf_dev = outs
         # speculative single round trip: metadata + a guessed stream prefix
         # in one device_get (every extra sync costs a full dispatch);
-        # refetch only when the guess fell short
-        up, nbytes, ovf = jax.device_get(
+        # refetch only when the guess fell short. Units are u32 WORDS of
+        # the wcompact stream (ops.pack.wcompact_unstuffed).
+        up, nbits, ovf = jax.device_get(
             (prefix_slice(u_dev, self._prefix_guess - 1),
-             nbytes_dev, ovf_dev))
-        total = int(nbytes.sum())
-        if bool(ovf) or total > cap_u:
+             nbits_dev, ovf_dev))
+        total_w = int(((nbits.astype(np.int64) + 31) >> 5).sum())
+        if bool(ovf) or total_w > cap_u // 4:
             return b"", False
-        if total > up.shape[-1]:
-            up = fetch_prefix(u_dev, total)
-        self._prefix_guess = max(total, 4096)
+        if total_w > up.shape[-1]:
+            up = fetch_prefix(u_dev, total_w)
+        self._prefix_guess = max(total_w, 1024)
         if n_rst < 0:
-            n_rst = len(nbytes) - 1
-        return finalize_host(up, nbytes, first_rst, n_rst), True
+            n_rst = len(nbits) - 1
+        return finalize_host_w(up, nbits, first_rst, n_rst), True
 
     def encode_scan_bytes(self, img, qtabs, luts, cap_u: int,
                           w_blk: int, first_rst: int = 0, n_rst: int = -1):
@@ -457,6 +460,40 @@ def finalize_host(u: np.ndarray, nbytes: np.ndarray, first_rst: int,
         parts.append((np.insert(seg, ff + 1, 0) if ff.size else seg).tobytes())
         if s < n_rst:
             parts.append(bytes([0xFF, 0xD0 + ((first_rst + s) & 7)]))
+    return b"".join(parts)
+
+
+def finalize_host_w(up: np.ndarray, nbits: np.ndarray, first_rst: int,
+                    n_rst: int) -> bytes:
+    """Word-compact device stream -> stuffed scan with RSTn joins.
+
+    The host half of ops.pack.wcompact_unstuffed: the downloaded u32
+    buffer's memory image IS the unstuffed byte stream (device bswap),
+    with segment s's ceil(bits/8) bytes at byte offset 4*wbase[s]. Sets
+    the T.81 F.1.2.3 1-padding, stuffs FF->FF00 and inserts RSTn markers
+    after the first `n_rst` segments, numbered from `first_rst`. C++
+    (native.finalize_wcompact) with a vectorized NumPy fallback.
+    """
+    from jpgenc_tpu import native
+    if native.available():
+        out = native.finalize_wcompact(up, nbits, first_rst, n_rst)
+        if out is not None:
+            return out
+    b = np.ascontiguousarray(up).view(np.uint8)
+    parts = []
+    wb = 0
+    for s, bits in enumerate(np.asarray(nbits)):
+        bits = int(bits)
+        nbytes = (bits + 7) >> 3
+        seg = b[4 * wb:4 * wb + nbytes].copy()
+        pad = nbytes * 8 - bits
+        if pad and nbytes:
+            seg[-1] |= (1 << pad) - 1
+        ff = np.flatnonzero(seg == 0xFF)
+        parts.append((np.insert(seg, ff + 1, 0) if ff.size else seg).tobytes())
+        if s < n_rst:
+            parts.append(bytes([0xFF, 0xD0 + ((first_rst + s) & 7)]))
+        wb += (bits + 31) >> 5
     return b"".join(parts)
 
 

@@ -85,6 +85,10 @@ def _load_inner():
     lib.finalize_compact.argtypes = [
         u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
     ]
+    lib.finalize_wcompact.restype = ctypes.c_int64
+    lib.finalize_wcompact.argtypes = [
+        u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+    ]
     LIB = lib
     return lib
 
@@ -147,6 +151,23 @@ def finalize_compact(u: np.ndarray, seg_nbytes: np.ndarray,
     n_seg = seg_nbytes.size
     out = np.empty(2 * int(seg_nbytes.sum()) + 2 * n_seg + 2, np.uint8)
     n = lib.finalize_compact(u, seg_nbytes, n_seg, first_rst, n_rst, out)
+    return out[:n].tobytes()
+
+
+def finalize_wcompact(u: np.ndarray, seg_nbits: np.ndarray,
+                      first_rst: int, n_rst: int) -> bytes | None:
+    """Word-compact device stream (LE u32 memory image = byte stream) ->
+    stuffed scan with RSTn joins. u: the downloaded u32 buffer viewed or
+    passed as bytes; seg_nbits: per-segment bit counts."""
+    lib = _load()
+    if lib is None:
+        return None
+    u = np.ascontiguousarray(u).view(np.uint8)
+    seg_nbits = np.ascontiguousarray(seg_nbits, np.int32)
+    n_seg = seg_nbits.size
+    total = int(((seg_nbits.astype(np.int64) + 7) >> 3).sum())
+    out = np.empty(2 * total + 2 * n_seg + 2, np.uint8)
+    n = lib.finalize_wcompact(u, seg_nbits, n_seg, first_rst, n_rst, out)
     return out[:n].tobytes()
 
 

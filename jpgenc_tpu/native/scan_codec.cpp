@@ -259,6 +259,36 @@ int64_t finalize_compact(const uint8_t* u, const int32_t* seg_nbytes,
     return o;
 }
 
+// Word-compact variant of finalize_compact: the device byte-swapped each
+// u32 so the downloaded buffer's memory image IS the byte stream, with
+// segment s's ceil(bits/8) bytes starting at byte offset 4*wbase[s]
+// (wbase = exclusive cumsum of ceil(bits/32)). This sets each segment's
+// T.81 F.1.2.3 1-padding in its final byte, stuffs FF->FF00 and joins
+// segments with RSTn. out must hold 2x total bytes + 2*n_seg.
+int64_t finalize_wcompact(const uint8_t* u, const int32_t* seg_nbits,
+                          int n_seg, int first_rst, int n_rst,
+                          uint8_t* out) {
+    int64_t o = 0, wbase = 0;
+    for (int s = 0; s < n_seg; ++s) {
+        int64_t nbits = seg_nbits[s];
+        int64_t nbytes = (nbits + 7) >> 3;
+        int pad = (int)(nbytes * 8 - nbits);
+        const uint8_t* seg = u + 4 * wbase;
+        for (int64_t j = 0; j < nbytes; ++j) {
+            uint8_t b = seg[j];
+            if (j == nbytes - 1 && pad) b |= (uint8_t)((1 << pad) - 1);
+            out[o++] = b;
+            if (b == 0xFF) out[o++] = 0x00;
+        }
+        if (s < n_rst) {
+            out[o++] = 0xFF;
+            out[o++] = (uint8_t)(0xD0 + ((first_rst + s) & 7));
+        }
+        wbase += (nbits + 31) >> 5;
+    }
+    return o;
+}
+
 // FF->FF00 stuffing + per-segment assembly used by the host fallback path:
 // words: [n_seg * w] u32 (MSB-first), bits: [n_seg].
 // out must hold worst case (2x bytes + 2 per segment). Returns output length.

@@ -145,6 +145,58 @@ def segments_from_blocks(buf: jnp.ndarray, bits: jnp.ndarray,
     return out.reshape(n_seg, w_seg), seg_bits
 
 
+def wcompact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
+                       cap_w: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side finalize at WORD granularity: segments -> one compact
+    u32 stream whose little-endian MEMORY IMAGE is the unstuffed byte
+    stream (each word byte-swapped on device, so the host just views the
+    downloaded buffer as bytes).
+
+    Compared to the byte-level compact_unstuffed this removes the 4x
+    byte-expansion entirely for the no-DRI case (a pure bswap of a static
+    word slice, ~0.4 ms/frame at 1080p on this chip) and cuts the
+    restart-interval gather to a quarter of the indices (word- instead of
+    byte-granular; segments start word-aligned in the stream, costing at
+    most 3 padding bytes each — covered by scan_caps' +2/segment slack).
+
+    The host (engine.finalize_host_w / native.finalize_wcompact) slices
+    each segment's ceil(bits/8) bytes at offset 4*wbase[s], sets the T.81
+    F.1.2.3 1-padding in the final byte, stuffs FF->FF00 and joins with
+    RSTn markers.
+
+    seg_words: [n_seg, W] u32 MSB-first; seg_bits: [n_seg] i32.
+    cap_w: static output capacity in WORDS. Output is only valid when
+      sum(ceil(bits/32)) <= cap_w — the caller checks on host and falls
+      back to a bigger tier on overflow.
+
+    Returns (wstream [cap_w] u32, nbits [n_seg] i32).
+    """
+    n_seg, w = seg_words.shape
+    words_i = jax.lax.bitcast_convert_type(seg_words, _I32)
+    nbits = seg_bits.astype(_I32)
+
+    def bswap(x):
+        return (((x >> 24) & 0xFF) | ((x >> 8) & 0xFF00) |
+                ((x & 0xFF00) << 8) | (x << 24))
+
+    if n_seg == 1:
+        k = min(cap_w, w)
+        out = bswap(words_i[0, :k])
+        if k < cap_w:
+            out = jnp.pad(out, (0, cap_w - k))
+        return jax.lax.bitcast_convert_type(out, jnp.uint32), nbits
+
+    # multi-segment (restart intervals): word gather through the segment map
+    nw = (nbits + 31) >> 5                            # words per segment
+    wbase = jnp.cumsum(nw) - nw                       # exclusive
+    p = jnp.arange(cap_w, dtype=_I32)
+    s = jnp.clip(jnp.searchsorted(wbase, p, side="right") - 1, 0, n_seg - 1)
+    q = p - wbase[s]
+    word = words_i.reshape(-1)[s * w + jnp.clip(q, 0, w - 1)]
+    out = jnp.where(q < nw[s], bswap(word), 0)
+    return jax.lax.bitcast_convert_type(out, jnp.uint32), nbits
+
+
 def compact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
                       cap_u: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Device-side finalize: segments -> one COMPACT unstuffed byte stream.

@@ -316,11 +316,14 @@ def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
     return cols_l + cols_r, [tot_l, tot_r]
 
 
-def k1a_applicable(layout: FrameLayout) -> bool:
+def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
     """Static gate: interleaved color with the MCU-row DMA block in budget
-    (mirrors k1_dct's dense-DMA gate). Gray and oversize rows use the split
-    K1 / kernel-A pipeline."""
-    if layout.is_gray:
+    (mirrors k1_dct's dense-DMA gate) and a first/safe-tier w_blk. Gray,
+    oversize rows, and the 56-word worst tier use the split K1 / kernel-A
+    pipeline (the unrolled per-word merge holds ~w_blk live [mx, 128]
+    vectors — at w_blk=56 the scoped-VMEM stack overflows Mosaic's 16 MB
+    limit; the worst tier only runs on rare pathological-content retries)."""
+    if layout.is_gray or w_blk > 24:
         return False
     c0 = layout.comps[0]
     return 8 * c0.vs * layout.mcus_x * 128 * 4 <= (4 << 20)

@@ -36,10 +36,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from jpgenc_tpu.config import EncodeConfig, MeshConfig
 from jpgenc_tpu.container.jfif import build_headers
-from jpgenc_tpu.engine import (DevicePlan, finalize_host, get_plan,
+from jpgenc_tpu.engine import (DevicePlan, finalize_host_w, get_plan,
                                luts_from_tables, qtables_for_quality,
                                scan_caps, scan_to_segments_blocked)
-from jpgenc_tpu.ops.pack import compact_unstuffed, w_blk_for_quality
+from jpgenc_tpu.ops.pack import w_blk_for_quality, wcompact_unstuffed
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import symbol_histogram
@@ -101,9 +101,9 @@ def _local_rows(*arrays) -> dict[int, tuple]:
 _PREFIX_GUESS: dict[tuple, int] = {}
 
 
-def _fetch_scan_rows(u, nbytes, ovf, cap_u: int, guess_key: tuple
+def _fetch_scan_rows(u, nbits, ovf, cap_u: int, guess_key: tuple
                      ) -> dict[int, tuple]:
-    """Locally-addressable (u_prefix, nbytes, ovf) rows of the batch-sharded
+    """Locally-addressable (u_prefix, nbits, ovf) rows of the batch-sharded
     finalize outputs, with ONE speculative device_get per shard: metadata
     plus an adaptively-guessed stream prefix fetched together (each extra
     sync costs a full dispatch; the capacity buffer is mostly empty at
@@ -111,18 +111,18 @@ def _fetch_scan_rows(u, nbytes, ovf, cap_u: int, guess_key: tuple
     only when the guess fell short. Multi-host safe (addressable shards)."""
     from jpgenc_tpu.engine import fetch_prefix, prefix_slice
     rows: dict[int, tuple] = {}
-    guess = _PREFIX_GUESS.get(guess_key, 4096)
-    for su, sn, so in zip(u.addressable_shards, nbytes.addressable_shards,
+    guess = _PREFIX_GUESS.get(guess_key, 1024)       # u32 words
+    for su, sn, so in zip(u.addressable_shards, nbits.addressable_shards,
                           ovf.addressable_shards):
         sl = su.index[0] if su.index else slice(None)
         start = sl.start or 0
         up, nb, ov = jax.device_get(
             (prefix_slice(su.data, guess - 1), sn.data, so.data))
-        t = int(nb.sum(axis=-1).max()) if nb.size else 0
-        t = min(t, cap_u)
+        t = int(((nb + 31) >> 5).sum(axis=-1).max()) if nb.size else 0
+        t = min(t, cap_u // 4)
         if t > up.shape[-1]:
             up = fetch_prefix(su.data, t)
-        guess = max(guess, t, 4096)
+        guess = max(guess, t, 1024)
         for j in range(nb.shape[0]):
             rows.setdefault(start + j, (up[j], nb[j], ov[j]))
     _PREFIX_GUESS[guess_key] = guess
@@ -172,7 +172,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         return scan_to_segments(zz, splan, luts, n_seg, words)
 
     from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
-    fuse_k1a = use_pallas and k1a_applicable(lay)
+    fuse_k1a = use_pallas and k1a_applicable(lay, w_blk)
 
     def _enc1_bytes(img, qtabs, splan, scan_flat, luts):
         if fuse_k1a:
@@ -188,7 +188,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
             zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
             w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg,
                                                  w_blk, use_pallas=use_pallas)
-        return compact_unstuffed(w, b, cap_u) + (ovf,)
+        return wcompact_unstuffed(w, b, cap_u // 4) + (ovf,)
 
     def _blocks1(img, qtabs):
         return pixels_to_blocks(img, lay, qtabs)
@@ -204,7 +204,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         zz = blocks_to_scan(blocks, scan_flat)
         w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
                                              use_pallas=use_pallas)
-        return compact_unstuffed(w, b, cap_u) + (ovf,)
+        return wcompact_unstuffed(w, b, cap_u // 4) + (ovf,)
 
     nb = sum(c.n_blocks for c in lay.comps)
     sh_blk = NamedSharding(mesh, P(ax, None, None))
@@ -348,7 +348,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
         hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
-        if bool(ov) or int(nb.sum()) > caps[0]:
+        if bool(ov) or int(((nb + 31) >> 5).sum()) > caps[0] // 4:
             # rare (noise-like content overflowing the tight tier): re-run
             # only the device finalize for this image at the never-overflowing
             # worst tier, on this process's own devices — the batch stays on
@@ -366,7 +366,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
             assert ok, "worst-tier device finalize cannot overflow"
             local[i] = hdr + scan + b"\xff\xd9"
         else:
-            local[i] = (hdr + finalize_host(ui, nb, 0, len(nb) - 1)
+            local[i] = (hdr + finalize_host_w(ui, nb, 0, len(nb) - 1)
                         + b"\xff\xd9")
     full = _exchange_rows(local)
     return [full[i] for i in range(b)]
@@ -467,7 +467,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
         us, nb, ov = rows[s]
         g0 = s * segs_per_stripe
         n_rst_s = segs_per_stripe if s < n_stripes - 1 else segs_per_stripe - 1
-        if bool(ov) or int(nb.sum()) > caps[0]:
+        if bool(ov) or int(((nb + 31) >> 5).sum()) > caps[0] // 4:
             # rare: redo only this stripe's device finalize at the
             # never-overflowing worst tier on this process's devices
             cap_u3 = scan_caps(stripe_layout, quality, "worst")[0]
@@ -484,7 +484,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
             assert ok, "worst-tier device finalize cannot overflow"
             local[s] = part
         else:
-            local[s] = finalize_host(us, nb, g0, n_rst_s)
+            local[s] = finalize_host_w(us, nb, g0, n_rst_s)
     full = _exchange_rows(local)
     scan = b"".join(full[s] for s in range(n_stripes))
 

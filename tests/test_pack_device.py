@@ -75,6 +75,50 @@ def test_finalize_host_np_fallback_matches_native(gray_image, monkeypatch):
     assert got == want
 
 
+@pytest.mark.parametrize("mode,restart", [("gray", 0), ("gray", 3),
+                                          ("420", 0), ("420", 5)])
+def test_wcompact_matches_byte_compact(gray_image, rgb_image, mode, restart):
+    """The word-granular device finalize (production path) must produce the
+    same final scan as the byte-granular one for every segment config."""
+    from jpgenc_tpu.engine import finalize_host_w
+    from jpgenc_tpu.ops.pack import wcompact_unstuffed
+    img = gray_image if mode == "gray" else rgb_image
+    layout = make_layout(img.shape[0], img.shape[1], mode, restart)
+    plan = get_plan(layout)
+    _, qt = qtables_for_quality(75)
+    luts = luts_from_tables(*standard_tables())
+    seg_w, seg_b = plan.encode_segments(img, qt, luts)
+    cap_u = scan_caps(layout, 75)[0]
+    n_rst = layout.n_segments - 1
+    u8, nbytes = compact_unstuffed(seg_w, seg_b, cap_u)
+    want = finalize_host(np.asarray(u8), np.asarray(nbytes), 0, n_rst)
+    uw, nbits = wcompact_unstuffed(seg_w, seg_b, cap_u // 4)
+    uw, nbits = np.asarray(uw), np.asarray(nbits)
+    assert int(((nbits + 31) >> 5).sum()) <= cap_u // 4
+    got = finalize_host_w(uw, nbits, 0, n_rst)
+    assert got == want
+
+
+def test_finalize_host_w_np_fallback_matches_native(rgb_image, monkeypatch):
+    from jpgenc_tpu import native
+    from jpgenc_tpu.engine import finalize_host_w
+    from jpgenc_tpu.ops.pack import wcompact_unstuffed
+    if not native.available():
+        pytest.skip("native tier unavailable")
+    layout = make_layout(rgb_image.shape[0], rgb_image.shape[1], "420", 4)
+    plan = get_plan(layout)
+    _, qt = qtables_for_quality(75)
+    luts = luts_from_tables(*standard_tables())
+    seg_w, seg_b = plan.encode_segments(rgb_image, qt, luts)
+    cap_u = scan_caps(layout, 75)[0]
+    uw, nbits = wcompact_unstuffed(seg_w, seg_b, cap_u // 4)
+    uw, nbits = np.asarray(uw), np.asarray(nbits)
+    want = finalize_host_w(uw, nbits, 2, len(nbits))
+    monkeypatch.setattr(native, "available", lambda: False)
+    got = finalize_host_w(uw, nbits, 2, len(nbits))
+    assert got == want
+
+
 def test_compact_overflow_flagged(gray_image):
     layout = make_layout(*gray_image.shape, "gray", 0)
     plan = get_plan(layout)
