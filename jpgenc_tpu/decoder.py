@@ -215,7 +215,10 @@ def reconstruct_pixels(layout: FrameLayout, all_blocks: np.ndarray,
     else:
         qts = [np.asarray(q) for q in qtables]
     qts = [jnp.asarray(q.reshape(64).astype(np.int32)) for q in qts]
-    out = _recon_jit(layout)(jnp.asarray(all_blocks), qts)
+    # baseline coefficients fit i16 (|DC| <= 1024, SSSS <= 10 for AC):
+    # halving the upload matters — the host->device link is the decode
+    # bottleneck on this platform (12.5 -> 6.3 MB at 1080p)
+    out = _recon_jit(layout)(jnp.asarray(all_blocks.astype(np.int16)), qts)
     return np.asarray(out)[:layout.height, :layout.width]
 
 
