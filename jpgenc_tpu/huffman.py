@@ -68,11 +68,25 @@ def optimize_tables(freq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     with count 1 reserves the all-ones code so real symbols never get it
     (decoder-robustness convention shared with libjpeg).
 
+    Dispatches to the native C++ port (jpgenc_tpu.native.optimize_tables,
+    equality-tested against this implementation) when available — per-image
+    optimized encode builds 4 tables per image, and the Python merge loop's
+    ~6 ms/call made the batch config host-bound.
+
     freq: [256] nonneg int counts. Returns (bits[16], vals[n]).
     """
     freq = np.asarray(freq, dtype=np.int64)
     if freq.shape != (256,):
         raise ValueError("freq must have shape (256,)")
+    from jpgenc_tpu import native
+    res = native.optimize_tables(freq)
+    if res is not None:
+        return res
+    return _optimize_tables_py(freq)
+
+
+def _optimize_tables_py(freq: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-Python/NumPy reference implementation of optimize_tables."""
     f = np.zeros(257, dtype=np.int64)
     f[:256] = freq
     f[256] = 1  # reserved: guarantees the all-ones code is never assigned

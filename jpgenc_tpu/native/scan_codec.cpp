@@ -289,6 +289,95 @@ int64_t finalize_wcompact(const uint8_t* u, const int32_t* seg_nbits,
     return o;
 }
 
+// T.81 Annex K.2 optimal Huffman table construction (SURVEY.md component
+// #14), exact port of the Python jpgenc_tpu.huffman.optimize_tables: merge
+// the two least-frequent nonzero entries (ties -> highest symbol value,
+// matching libjpeg's convention) chaining code sizes, ADJUST_BITS to fold
+// lengths above 16 down, drop the reserved all-ones phantom symbol, then
+// SORT_INPUT by (code size, symbol value). Per-image optimized encode calls
+// this 4x per image; the Python version's ~6 ms/call made the 1024-image
+// batch config host-bound.
+// freq256: [256] counts. bits16: out [16]. vals: out [256] (symbol order).
+// Returns the number of symbols, or -1 on internal inconsistency (caller
+// falls back to the Python path).
+int optimize_tables(const int64_t* freq256, int32_t* bits16, int32_t* vals) {
+    int64_t f[257];
+    for (int i = 0; i < 256; ++i) f[i] = freq256[i];
+    f[256] = 1;  // reserved: guarantees the all-ones code is never assigned
+    int32_t codesize[257];
+    int32_t others[257];
+    for (int i = 0; i < 257; ++i) { codesize[i] = 0; others[i] = -1; }
+
+    for (;;) {
+        // two least-frequent nonzero entries; ties -> highest symbol value
+        int c1 = -1;
+        int64_t m1 = INT64_MAX;
+        for (int i = 0; i < 257; ++i)
+            if (f[i] > 0 && f[i] <= m1) { m1 = f[i]; c1 = i; }
+        if (c1 < 0) break;
+        int c2 = -1;
+        int64_t m2 = INT64_MAX;
+        for (int i = 0; i < 257; ++i)
+            if (f[i] > 0 && i != c1 && f[i] <= m2) { m2 = f[i]; c2 = i; }
+        if (c2 < 0) break;
+
+        f[c1] += f[c2];
+        f[c2] = 0;
+        codesize[c1] += 1;
+        while (others[c1] >= 0) { c1 = others[c1]; codesize[c1] += 1; }
+        others[c1] = c2;
+        codesize[c2] += 1;
+        while (others[c2] >= 0) { c2 = others[c2]; codesize[c2] += 1; }
+    }
+
+    int max_size = 0;
+    for (int i = 0; i < 257; ++i)
+        if (codesize[i] > max_size) max_size = codesize[i];
+    if (max_size > 256) return -1;
+    int counts_top = max_size > 16 ? max_size : 16;  // counts[0..counts_top]
+    int64_t counts[258];
+    for (int i = 0; i <= counts_top; ++i) counts[i] = 0;
+    for (int i = 0; i < 257; ++i)
+        if (codesize[i] > 0) counts[codesize[i]] += 1;
+
+    // ADJUST_BITS (T.81 Figure K.3): fold lengths > 16 down
+    int i = counts_top;
+    while (i > 16) {
+        while (counts[i] > 0) {
+            int j = i - 2;
+            while (j >= 0 && counts[j] == 0) --j;
+            if (j < 0) return -1;
+            counts[i] -= 2;
+            counts[i - 1] += 1;
+            counts[j + 1] += 2;
+            counts[j] -= 1;
+        }
+        --i;
+    }
+    // remove the reserved symbol's code from the longest used length
+    while (i >= 0 && counts[i] == 0) --i;
+    if (i < 0) {  // empty histogram: empty table (mirrors the Python path)
+        for (int k = 0; k < 16; ++k) bits16[k] = 0;
+        return 0;
+    }
+    counts[i] -= 1;
+
+    for (int k = 0; k < 16; ++k) bits16[k] = 0;
+    int lim = i < 16 ? i : 16;
+    for (int k = 0; k < lim; ++k) bits16[k] = (int32_t)counts[k + 1];
+
+    // SORT_INPUT (T.81 Figure K.4): by original code size, then symbol value
+    int n = 0;
+    for (int size = 1; size <= max_size; ++size)
+        for (int sym = 0; sym < 256; ++sym)
+            if (codesize[sym] == size) vals[n++] = sym;
+
+    int64_t total = 0;
+    for (int k = 0; k < 16; ++k) total += bits16[k];
+    if (total != n) return -1;
+    return n;
+}
+
 // FF->FF00 stuffing + per-segment assembly used by the host fallback path:
 // words: [n_seg * w] u32 (MSB-first), bits: [n_seg].
 // out must hold worst case (2x bytes + 2 per segment). Returns output length.

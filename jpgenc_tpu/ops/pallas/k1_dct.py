@@ -291,7 +291,9 @@ def fused_pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
             mx, my = layout.mcus_x, layout.mcus_y
             wpr = (8 * c0.hs) * 3 // 4
             # lane dim wpr pads to 128 in VMEM: bound the per-step block
-            if mh * mx * 128 * 4 <= (4 << 20):
+            # mx % 8: the [mx, l_out] output block needs a sublane-divisible
+            # tile; odd widths use the row-padded dense path below instead
+            if mh * mx * 128 * 4 <= (4 << 20) and mx % 8 == 0:
                 # preferred: BlockSpec DMA gathers each MCU row's words
                 # straight from the natural image layout — no XLA transpose
                 # (XLA u8/u32 transposes run at ~3.4 GB/s on this chip and

@@ -326,6 +326,10 @@ def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
     if layout.is_gray or w_blk > 24:
         return False
     c0 = layout.comps[0]
+    if layout.mcus_x % 8:
+        # output BlockSpecs are [mcus_x, ...] tiles: Mosaic requires the
+        # sublane dim divisible by 8 (found via an odd-width 480px encode)
+        return False
     return 8 * c0.vs * layout.mcus_x * 128 * 4 <= (4 << 20)
 
 

@@ -100,3 +100,35 @@ def test_native_decode_rejects_truncated_single_segment(gray_image):
     parsed.scan_data = parsed.scan_data[:len(parsed.scan_data) // 4]
     with pytest.raises(ValueError):
         decode_scan_to_blocks(parsed, layout)
+
+
+def test_native_optimize_tables_matches_python():
+    """C++ T.81 K.2 builder is an exact port of the Python implementation,
+    including the highest-symbol tie-break and ADJUST_BITS length folding."""
+    from jpgenc_tpu.huffman import _optimize_tables_py, build_codes
+    assert native.available(), "native library must build in CI"
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 10_000, 256),             # dense uniform
+        rng.integers(0, 3, 256),                  # sparse, heavy ties
+        np.where(np.arange(256) < 20,
+                 2 ** np.arange(256, dtype=np.float64).clip(0, 40), 0
+                 ).astype(np.int64),              # skewed: triggers ADJUST_BITS
+        np.eye(256, dtype=np.int64)[17] * 5,      # single symbol
+        np.ones(256, dtype=np.int64),             # all equal (max ties)
+    ]
+    for _ in range(20):
+        n_sym = int(rng.integers(1, 257))
+        f = np.zeros(256, np.int64)
+        idx = rng.choice(256, n_sym, replace=False)
+        f[idx] = rng.integers(1, 1_000_000, n_sym)
+        cases.append(f)
+    for f in cases:
+        f = np.asarray(f, np.int64)
+        got = native.optimize_tables(f)
+        assert got is not None
+        bits_n, vals_n = got
+        bits_p, vals_p = _optimize_tables_py(f)
+        np.testing.assert_array_equal(bits_n, bits_p)
+        np.testing.assert_array_equal(vals_n, vals_p)
+        build_codes(bits_n, vals_n)               # must be a valid table

@@ -10,12 +10,14 @@ import numpy as np
 import pytest
 
 
+# widths keep mcus_x divisible by 8 (the Mosaic sublane-tile rule the
+# applicability gate enforces for real-hardware lowering)
 CASES = [
-    (128, 192, "420", 0),
-    (120, 168, "420", 3),      # short last segment -> padded slots
-    (64, 80, "422", 2),
-    (48, 56, "444", 0),
-    (112, 144, "420", 1),      # every MCU its own segment
+    (128, 256, "420", 0),
+    (120, 120, "420", 3),      # short last segment -> padded slots; pad cols
+    (64, 126, "422", 2),       # replicate-pad to the MCU grid
+    (48, 62, "444", 0),
+    (112, 128, "420", 1),      # every MCU its own segment
 ]
 
 
@@ -60,3 +62,5 @@ def test_k1a_gate():
     assert k1a_applicable(make_layout(2160, 3840, "420", 0))
     # oversize MCU rows (DMA block > 4 MB) must fall back
     assert not k1a_applicable(make_layout(64, 70000, "420", 0))
+    # mcus_x not divisible by 8 (Mosaic sublane tiling) must fall back
+    assert not k1a_applicable(make_layout(360, 480, "420", 0))
