@@ -32,6 +32,12 @@ import numpy as np  # noqa: E402
 TARGET_MPIX_S = 625.0  # 10 GPix/s / 16 chips (BASELINE.json:5)
 H, W = 1080, 1920
 B = int(os.environ.get("BENCH_BATCH", "64"))
+# frames uploaded per host->device transfer: every staged byte counts
+# against a ~1.3 GB/process transfer pool that degrades PERMANENTLY once
+# exhausted on this platform (docs/PERFORMANCE.md "host->device staging
+# pool"), so the bench uploads 16 distinct 1080p frames (~100 MB) and
+# device-tiles them to the B-frame compute batch
+B_UP = min(B, int(os.environ.get("BENCH_BATCH_UPLOAD", "16")))
 
 
 def _log(msg: str) -> None:
@@ -152,11 +158,16 @@ def main() -> None:
         return time.perf_counter() - bench_t0 < budget_s
 
     # ---- config :8 — HEADLINE: 1080p RGB 4:2:0 Q75 -----------------------
-    frames = synth_batch(H, W, B)
+    from jpgenc_tpu.parallel.mesh import put_batch
+    frames = synth_batch(H, W, B_UP)
     layout = make_layout(H, W, "420", 0)
     plan, fns, qt_host, qt_dev, tabs, luts = _pipeline_fns(layout, 75, B, mesh)
     hdr = build_headers(layout, list(qt_host), *tabs)
-    frames_dev = jax.device_put(frames, fns["sharding_img"])
+    reps = -(-B // B_UP)
+    tile = jax.jit(lambda x: jax.numpy.concatenate([x] * reps, axis=0)[:B],
+                   out_shardings=fns["sharding_img"])
+    frames_dev = tile(put_batch(frames, fns["sharding_img"]))
+    frames_dev.block_until_ready()
     sec, outs = _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev,
                               hdr, B, n_iter=6)
     mpix = B * H * W / 1e6
@@ -167,12 +178,15 @@ def main() -> None:
          f"bpp {q8['bpp']} psnr {q8['psnr_db']} "
          f"(pillow {q8['pillow_bpp']}/{q8['pillow_psnr_db']})")
 
-    # e2e including upload through the production batch path
+    # e2e including upload through the production batch path (B_UP frames
+    # per call: fresh bytes must cross the link each iteration, and the
+    # staging pool bounds how many the process can afford)
+    mpix_up = B_UP * H * W / 1e6
     outs2 = encode_batch(frames, quality=75, subsampling="420", mesh=mesh)
     t0 = time.perf_counter()
-    for _ in range(3):
+    for _ in range(2):
         outs2 = encode_batch(frames, quality=75, subsampling="420", mesh=mesh)
-    e2e = mpix / ((time.perf_counter() - t0) / 3)
+    e2e = mpix_up / ((time.perf_counter() - t0) / 2)
     assert outs2[0] == outs[0], "batched paths disagree"
     configs["1080p_420_q75"]["e2e_upload_mpix_per_s"] = round(e2e, 2)
     _log(f"c8 e2e+upload: {e2e:.2f} MPix/s")
@@ -197,7 +211,7 @@ def main() -> None:
         gplan, gfns, gqt_host, gqt_dev, gtabs, gluts = _pipeline_fns(
             glayout, 75, B, mesh, tier="safe")
         ghdr = build_headers(glayout, list(gqt_host), *gtabs)
-        gdev = jax.device_put(gray, gfns["sharding_img"])
+        gdev = put_batch(gray, gfns["sharding_img"])
         gsec, gouts = _run_pipeline(glayout, gplan, gfns, gqt_dev, gluts,
                                     gdev, ghdr, B, n_iter=6)
         gq = _psnr_bpp(gouts[0], gray[0], 75)
@@ -260,7 +274,7 @@ def main() -> None:
             encode_batch(frames, quality=75, subsampling="420", mesh=mesh,
                          staged=cur)
         bsec = time.perf_counter() - t0
-        n_imgs = n_chunks * B
+        n_imgs = n_chunks * B_UP
         row = {
             "images": n_imgs,
             "note": "slice of the 1024-image config on the 1 available "
@@ -275,13 +289,24 @@ def main() -> None:
     # ---- decode throughput ----------------------------------------------
     def cdec():
         from jpgenc_tpu.api import decode as decode_one
+        from jpgenc_tpu.api import decode_batch
+        nb_dec = 8
+        files = [outs[i % B_UP] for i in range(nb_dec)]
+        decode_batch(files)                                 # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(2):
+            decode_batch(files)
+        dsec = (time.perf_counter() - t0) / 2
+        row = {"mpix_per_s": round(nb_dec * H * W / 1e6 / dsec, 2),
+               "batch": nb_dec}
         decode_one(outs[0])                                 # compile + warm
         t0 = time.perf_counter()
-        for i in range(4):
-            decode_one(outs[i % B])
-        dsec = (time.perf_counter() - t0) / 4
-        row = {"mpix_per_s": round(H * W / 1e6 / dsec, 2)}
-        _log(f"decode 1080p: {row['mpix_per_s']} MPix/s")
+        for i in range(2):
+            decode_one(outs[i])
+        row["single_mpix_per_s"] = round(H * W / 1e6
+                                         / ((time.perf_counter() - t0) / 2), 2)
+        _log(f"decode 1080p: batch {row['mpix_per_s']} MPix/s; "
+             f"single {row['single_mpix_per_s']}")
         return row
 
     _config("decode_1080p", cdec)

@@ -11,7 +11,7 @@ from jpgenc_tpu.engine import (get_plan, luts_from_tables, qtables_for_quality,
 from jpgenc_tpu.ops.pack import w_blk_for_quality
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
-from jpgenc_tpu.decoder import decode  # noqa: F401  (public API re-export)
+from jpgenc_tpu.decoder import decode, decode_batch  # noqa: F401  (public API re-exports)
 from jpgenc_tpu.ref.encoder import standard_tables
 
 
@@ -41,8 +41,11 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
              (scan_caps(layout, cfg.quality, "worst")[0], 56)]
     tiers = [t for i, t in enumerate(tiers) if t not in tiers[:i]]
     if cfg.optimize_huffman:
-        blocks = plan.blocks(img, qt_dev)
-        freq = np.asarray(plan.histogram(blocks))
+        # pass 1 caches the SCAN-ORDERED zigzag tensor (Pallas K1 on TPU):
+        # neither pass pays the raster->scan gather, and pass 2 feeds the
+        # fused entropy kernels directly (SURVEY.md call stack 4.3)
+        zz = plan.zz_scan(img, qt_dev)
+        freq = np.asarray(plan.histogram_zz(zz))
         n_tabs = 1 if layout.is_gray else 2
         dc_tables = [build_codes(*optimize_tables(freq[0, t].astype(np.int64)))
                      for t in range(n_tabs)]
@@ -50,11 +53,11 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
                      for t in range(n_tabs)]
         luts = luts_from_tables(dc_tables, ac_tables)
         for cap_u, w_blk in tiers:
-            scan, ok = plan.entropy_scan_bytes(blocks, luts, cap_u, w_blk)
+            scan, ok = plan.entropy_scan_bytes_zz(zz, luts, cap_u, w_blk)
             if ok:
                 break
         if not ok:  # capacity overflow: host finalize on the full word buffer
-            seg_words, seg_bits = plan.entropy_segments(blocks, luts)
+            seg_words, seg_bits = plan.entropy_segments_zz(zz, luts)
             scan = segments_to_scan(np.asarray(seg_words), np.asarray(seg_bits))
     else:
         dc_tables, ac_tables = standard_tables()

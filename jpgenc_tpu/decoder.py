@@ -167,11 +167,13 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
 _RECON: dict[tuple, object] = {}
 
 
-def _recon_jit(layout: FrameLayout):
+def _recon_jit(layout: FrameLayout, batch: int = 0):
     """One jitted blocks->pixels pipeline per layout geometry (the whole
     reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
-    single device dispatch instead of per-component un-jitted helpers)."""
-    key = (layout.height, layout.width, layout.subsampling)
+    single device dispatch instead of per-component un-jitted helpers).
+    batch > 0 builds the vmapped form over [B, n_total, 64] blocks and
+    [B, n_comps, 64] quant tables (decode_batch)."""
+    key = (layout.height, layout.width, layout.subsampling, batch)
     fn = _RECON.get(key)
     if fn is not None:
         return fn
@@ -197,7 +199,7 @@ def _recon_jit(layout: FrameLayout):
             rgb = C.ycbcr_to_rgb(jnp.stack([y, cb, cr], axis=-1))
             return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
-    fn = jax.jit(_fn)
+    fn = jax.jit(jax.vmap(_fn) if batch else _fn)
     _RECON[key] = fn
     return fn
 
@@ -247,3 +249,45 @@ def decode(data: bytes) -> np.ndarray:
                 f"component {ci} references undefined quant table {c.qtab}")
         qts.append(parsed.qtables[c.qtab])
     return reconstruct_pixels(layout, blocks, qts)
+
+
+def decode_batch(datas: list[bytes]) -> list[np.ndarray]:
+    """Decode same-geometry JPEGs with ONE batched device reconstruction.
+
+    Host side parses + entropy-decodes each scan (native C++, the GIL is
+    released during the call so a thread pool gives real parallelism);
+    device side runs a single vmapped dispatch and one download for the
+    whole batch — amortizing the per-dispatch cost that dominates
+    single-image decode on this platform. Falls back to per-image decode
+    when geometries differ.
+    """
+    if not datas:
+        return []
+    parsed = [parse_jpeg(d) for d in datas]
+    key0 = (parsed[0].height, parsed[0].width, parsed[0].subsampling)
+    if any((p.height, p.width, p.subsampling) != key0 for p in parsed):
+        return [decode(d) for d in datas]
+    layout = layout_from_parsed(parsed[0])
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
+        blocks = list(ex.map(
+            lambda p: decode_scan_to_blocks(p, layout), parsed))
+
+    qts_b = []
+    for p in parsed:
+        row = []
+        for ci, c in enumerate(p.comps):
+            if c.qtab not in p.qtables:
+                raise ValueError(
+                    f"component {ci} references undefined quant table {c.qtab}")
+            row.append(np.asarray(p.qtables[c.qtab]).reshape(64)
+                       .astype(np.int32))
+        qts_b.append(row)
+    n_comps = len(parsed[0].comps)
+    qts = [jnp.asarray(np.stack([row[i] for row in qts_b]))
+           for i in range(n_comps)]
+    blk = jnp.asarray(np.stack(blocks).astype(np.int16))
+    out = _recon_jit(layout, batch=len(datas))(blk, qts)
+    arr = np.asarray(out)[:, :layout.height, :layout.width]
+    return [arr[i] for i in range(arr.shape[0])]

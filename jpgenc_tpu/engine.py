@@ -296,10 +296,30 @@ class DevicePlan:
             zz = blocks_to_scan(blocks, scan_flat)
             return symbol_histogram(zz, plan)
 
+        # scan-ordered variants (the optimize-mode production path): pass 1
+        # runs the Pallas K1 once and caches the SCAN-ORDERED zigzag tensor,
+        # so neither pass pays the raster->scan gather and pass 2 feeds the
+        # fused entropy kernels directly (call stack 4.3)
+        @jax.jit
+        def _zz(img, qtabs):
+            return pixels_to_scan_auto(img, lay, qtabs, use_pallas_default())
+
+        @jax.jit
+        def _hist_zz(zz, plan):
+            return symbol_histogram(zz.astype(jnp.int32), plan)
+
+        @jax.jit
+        def _entropy_zz(zz, plan, luts):
+            return scan_to_segments(zz.astype(jnp.int32), plan, luts,
+                                    n_seg, words)
+
         self._encode = _encode
         self._blocks = _blocks
         self._entropy = _entropy
         self._hist = _hist
+        self._zz = _zz
+        self._hist_zz = _hist_zz
+        self._entropy_zz = _entropy_zz
         self._bytes_fns: dict[tuple, dict] = {}
         self._prefix_guess = 1024   # adaptive speculative-fetch length (u32 words)
 
@@ -347,8 +367,15 @@ class DevicePlan:
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
                 return wcompact_unstuffed(w, b, cap_w) + (ovf,)
 
+            @jax.jit
+            def _entropy_bytes_zz(zz, plan, luts):
+                w, b, ovf = scan_to_segments_blocked(zz, plan, luts,
+                                                     n_seg, w_blk)
+                return wcompact_unstuffed(w, b, cap_w) + (ovf,)
+
             self._bytes_fns[key] = {"encode": _encode_bytes,
-                                    "entropy": _entropy_bytes}
+                                    "entropy": _entropy_bytes,
+                                    "entropy_zz": _entropy_bytes_zz}
         return self._bytes_fns[key]
 
     def _finish_bytes(self, outs, cap_u, first_rst, n_rst):
@@ -388,6 +415,13 @@ class DevicePlan:
         outs = fns["entropy"](blocks, self.plan, self.scan_flat, luts)
         return self._finish_bytes(outs, cap_u, first_rst, n_rst)
 
+    def entropy_scan_bytes_zz(self, zz, luts, cap_u: int, w_blk: int,
+                              first_rst: int = 0, n_rst: int = -1):
+        """Entropy-only encode from SCAN-ORDERED blocks (optimize pass 2)."""
+        fns = self.bytes_fns(cap_u, w_blk)
+        outs = fns["entropy_zz"](zz, self.plan, luts)
+        return self._finish_bytes(outs, cap_u, first_rst, n_rst)
+
     # -- public ------------------------------------------------------------
 
     def encode_segments(self, img, qtabs, luts):
@@ -396,11 +430,21 @@ class DevicePlan:
     def blocks(self, img, qtabs):
         return self._blocks(img, qtabs)
 
+    def zz_scan(self, img, qtabs):
+        """Scan-ordered quantized zigzag blocks (Pallas K1 on TPU)."""
+        return self._zz(img, qtabs)
+
     def entropy_segments(self, blocks, luts):
         return self._entropy(blocks, self.plan, self.scan_flat, luts)
 
+    def entropy_segments_zz(self, zz, luts):
+        return self._entropy_zz(zz, self.plan, luts)
+
     def histogram(self, blocks):
         return self._hist(blocks, self.plan, self.scan_flat)
+
+    def histogram_zz(self, zz):
+        return self._hist_zz(zz, self.plan)
 
 
 _PLANS: dict[tuple, DevicePlan] = {}

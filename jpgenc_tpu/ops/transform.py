@@ -72,13 +72,22 @@ def plane_to_zigzag(plane_f32: jnp.ndarray, qtable_nat: jnp.ndarray) -> jnp.ndar
     return round_half_away(coef / q_zz[None, :]).astype(jnp.int32)
 
 
+# [64, 64] fused dezigzag+IDCT operator (_KDCT_ZZ's inverse — kron(C, C) is
+# orthogonal): row k is the pixel-domain basis image of zigzag coefficient k,
+# so reconstruction is one [n,64]@[64,64] MXU matmul instead of a 64-lane
+# gather plus batched 8x8 einsums.
+_KIDCT_ZZ = np.kron(_C, _C)[np.asarray(T.ZIGZAG), :].astype(np.float32)
+
+
 def zigzag_to_plane(zz: jnp.ndarray, qtable_nat: jnp.ndarray,
                     h: int, w: int) -> jnp.ndarray:
     """Decoder reconstruction: [n, 64] zigzag ints -> float32 plane (unclipped).
 
-    Dezigzag -> dequant -> IDCT -> +128 (SURVEY.md component #21).
+    Dequant (in zigzag order) -> fused dezigzag+IDCT matmul -> +128
+    (SURVEY.md component #21).
     """
-    nat = zz[:, jnp.asarray(T.INV_ZIGZAG)].astype(jnp.float32)
-    coef = nat * qtable_nat.reshape(1, 64).astype(jnp.float32)
-    blocks = idct_blocks(coef.reshape(-1, 8, 8)) + jnp.float32(128.0)
-    return deblockify(blocks, h, w)
+    q_zz = qtable_nat.reshape(64).astype(jnp.float32)[jnp.asarray(T.ZIGZAG)]
+    coef = zz.astype(jnp.float32) * q_zz[None, :]
+    px = jnp.dot(coef, jnp.asarray(_KIDCT_ZZ),
+                 precision=jax.lax.Precision.HIGHEST) + jnp.float32(128.0)
+    return deblockify(px.reshape(-1, 8, 8), h, w)

@@ -98,6 +98,24 @@ def _local_rows(*arrays) -> dict[int, tuple]:
     return rows
 
 
+def put_batch(arr: np.ndarray, sharding) -> jax.Array:
+    """Batch-sharded host->device placement via one plain per-device
+    transfer per shard, assembled zero-copy.
+
+    `jax.device_put(arr, NamedSharding)` measures 4-20x slower than plain
+    per-device puts for >=50 MB transfers on this platform, and every byte
+    staged counts against a ~1.3 GB/process transfer pool that degrades
+    permanently once exhausted (docs/PERFORMANCE.md "host->device staging
+    pool"). Multi-host safe: each process uploads only its addressable
+    shards.
+    """
+    idx_map = sharding.addressable_devices_indices_map(arr.shape)
+    shards = [jax.device_put(np.ascontiguousarray(arr[idx]), d)
+              for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sharding, shards)
+
+
 _PREFIX_GUESS: dict[tuple, int] = {}
 
 
@@ -190,23 +208,20 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
                                                  w_blk, use_pallas=use_pallas)
         return wcompact_unstuffed(w, b, cap_u // 4) + (ovf,)
 
-    def _blocks1(img, qtabs):
-        return pixels_to_blocks(img, lay, qtabs)
+    # optimize-mode pass 1 caches the SCAN-ORDERED zigzag tensor (Pallas K1
+    # on TPU): neither pass pays the raster->scan gather, and pass 2 feeds
+    # the fused entropy kernels directly (SURVEY.md call stack 4.3)
+    def _zz1(img, qtabs):
+        return pixels_to_scan_auto(img, lay, qtabs, use_pallas)
 
-    def _hist1(blocks, splan, scan_flat):
-        return symbol_histogram(blocks_to_scan(blocks, scan_flat), splan)
+    def _hist1(zz, splan):
+        return symbol_histogram(zz.astype(jnp.int32), splan)
 
-    def _entropy1(blocks, splan, scan_flat, luts):
-        zz = blocks_to_scan(blocks, scan_flat)
-        return scan_to_segments(zz, splan, luts, n_seg, words)
-
-    def _entropy1_bytes(blocks, splan, scan_flat, luts):
-        zz = blocks_to_scan(blocks, scan_flat)
+    def _entropy1_bytes(zz, splan, luts):
         w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
                                              use_pallas=use_pallas)
         return wcompact_unstuffed(w, b, cap_u // 4) + (ovf,)
 
-    nb = sum(c.n_blocks for c in lay.comps)
     sh_blk = NamedSharding(mesh, P(ax, None, None))
 
     fns = {
@@ -216,33 +231,26 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         "encode_bytes": jax.jit(
             jax.vmap(_enc1_bytes, in_axes=(0, None, None, None, None)),
             in_shardings=(sh_img, rep, rep, rep, rep)),
-        "blocks": jax.jit(
-            jax.vmap(_blocks1, in_axes=(0, None)),
+        "zz": jax.jit(
+            jax.vmap(_zz1, in_axes=(0, None)),
             in_shardings=(sh_img, rep)),
         # per-image custom LUTs (optimize mode): luts batched over axis 0
-        "entropy_perimg": jax.jit(
-            jax.vmap(_entropy1, in_axes=(0, None, None, 0)),
-            in_shardings=(sh_blk, rep, rep, sh_blk)),
         "entropy_bytes_perimg": jax.jit(
-            jax.vmap(_entropy1_bytes, in_axes=(0, None, None, 0)),
-            in_shardings=(sh_blk, rep, rep, sh_blk)),
+            jax.vmap(_entropy1_bytes, in_axes=(0, None, 0)),
+            in_shardings=(sh_blk, rep, sh_blk)),
         # shared LUTs (striped single image): replicated tables
-        "entropy_shared": jax.jit(
-            jax.vmap(_entropy1, in_axes=(0, None, None, None)),
-            in_shardings=(sh_blk, rep, rep, rep)),
         "entropy_bytes_shared": jax.jit(
-            jax.vmap(_entropy1_bytes, in_axes=(0, None, None, None)),
-            in_shardings=(sh_blk, rep, rep, rep)),
-        "hist": jax.jit(
-            jax.vmap(_hist1, in_axes=(0, None, None)),
+            jax.vmap(_entropy1_bytes, in_axes=(0, None, None)),
             in_shardings=(sh_blk, rep, rep)),
+        "hist": jax.jit(
+            jax.vmap(_hist1, in_axes=(0, None)),
+            in_shardings=(sh_blk, rep)),
         # global histogram reduction: out_shardings pins the psum result to
         # fully-replicated so every host can fetch it (multi-host safe)
         "hist_sum": jax.jit(
-            lambda blocks, splan, scan_flat: jax.vmap(
-                _hist1, in_axes=(0, None, None))(blocks, splan, scan_flat
-                                                 ).sum(axis=0),
-            in_shardings=(sh_blk, rep, rep), out_shardings=rep),
+            lambda zz, splan: jax.vmap(
+                _hist1, in_axes=(0, None))(zz, splan).sum(axis=0),
+            in_shardings=(sh_blk, rep), out_shardings=rep),
         "sharding_img": sh_img,
         "caps": caps,
     }
@@ -290,7 +298,7 @@ def stage_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     cfg = EncodeConfig(quality=quality, subsampling=subsampling,
                        restart_interval=restart_interval)
     imgs, b, pad, layout, plan, caps, fns = _batch_setup(imgs, cfg, mesh)
-    return imgs, jax.device_put(imgs, fns["sharding_img"])
+    return imgs, put_batch(imgs, fns["sharding_img"])
 
 
 def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
@@ -310,12 +318,12 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     if staged is not None:
         imgs, imgs_dev = staged
     else:
-        imgs_dev = jax.device_put(imgs, fns["sharding_img"])
+        imgs_dev = put_batch(imgs, fns["sharding_img"])
 
     n_tabs = 1 if layout.is_gray else 2
     if cfg.optimize_huffman:
-        blocks = fns["blocks"](imgs_dev, qt_dev)
-        hist = fns["hist"](blocks, plan.plan, plan.scan_flat)
+        zz = fns["zz"](imgs_dev, qt_dev)
+        hist = fns["hist"](zz, plan.plan)
         # per-image histograms live sharded across hosts: each host builds
         # tables for its own rows, then the table blobs are exchanged so
         # every process traces the same replicated luts_b (SPMD requirement)
@@ -326,12 +334,11 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
         per_img_tables += [per_img_tables[b - 1]] * pad  # padding rows
         luts_list = [luts_from_tables(dc, ac) for dc, ac in per_img_tables]
         luts_b = jax.tree.map(lambda *xs: jnp.stack(xs), *luts_list)
-        u, nbytes, ovf = fns["entropy_bytes_perimg"](
-            blocks, plan.plan, plan.scan_flat, luts_b)
+        u, nbytes, ovf = fns["entropy_bytes_perimg"](zz, plan.plan, luts_b)
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        blocks = None
+        zz = None
         u, nbytes, ovf = fns["encode_bytes"](
             imgs_dev, qt_dev, plan.plan, plan.scan_flat, luts)
 
@@ -339,7 +346,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     # then host-side exchange so every process returns the full result list
     rows = _fetch_scan_rows(u, nbytes, ovf, caps[0],
                             ("batch", id(plan), caps))
-    blocks_rows = None
+    zz_rows = None
     local: dict[int, bytes] = {}
     for i in sorted(rows):
         if i >= b:
@@ -355,11 +362,11 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
             # the device pipeline (no host word path)
             cap_u3 = scan_caps(layout, cfg.quality, "worst")[0]
             if cfg.optimize_huffman:
-                if blocks_rows is None:
-                    blocks_rows = _local_rows(blocks)
+                if zz_rows is None:
+                    zz_rows = _local_rows(zz)
                 luts_i = luts_from_tables(dc_tables, ac_tables)
-                scan, ok = plan.entropy_scan_bytes(blocks_rows[i][0], luts_i,
-                                                   cap_u3, 56)
+                scan, ok = plan.entropy_scan_bytes_zz(zz_rows[i][0], luts_i,
+                                                      cap_u3, 56)
             else:
                 scan, ok = plan.encode_scan_bytes(np.asarray(imgs[i]), qt_dev,
                                                   luts, cap_u3, 56)
@@ -436,22 +443,21 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
             w_blk_for_quality(quality))
     fns = _batched_fns(plan, n_stripes, mesh, caps)
     qt_host, qt_dev = qtables_for_quality(quality)
-    stripes_dev = jax.device_put(stripes, fns["sharding_img"])
+    stripes_dev = put_batch(stripes, fns["sharding_img"])
     n_tabs = 1 if stripe_layout.is_gray else 2
     segs_per_stripe = stripe_layout.n_segments
 
     if optimize:
-        blocks = fns["blocks"](stripes_dev, qt_dev)
+        zz = fns["zz"](stripes_dev, qt_dev)
         # global histogram: psum over the stripe axis (ICI collective on TPU)
-        freq = np.asarray(fns["hist_sum"](blocks, plan.plan, plan.scan_flat))
+        freq = np.asarray(fns["hist_sum"](zz, plan.plan))
         dc_tables, ac_tables = _build_tables_from_freq(freq, n_tabs)
         luts = luts_from_tables(dc_tables, ac_tables)
-        u, nbytes, ovf = fns["entropy_bytes_shared"](
-            blocks, plan.plan, plan.scan_flat, luts)
+        u, nbytes, ovf = fns["entropy_bytes_shared"](zz, plan.plan, luts)
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        blocks = None
+        zz = None
         u, nbytes, ovf = fns["encode_bytes"](
             stripes_dev, qt_dev, plan.plan, plan.scan_flat, luts)
 
@@ -461,7 +467,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     # scan on every process (SURVEY.md hard part 5 / call stack 4.5)
     rows = _fetch_scan_rows(u, nbytes, ovf, caps[0],
                             ("stripe", id(plan), caps))
-    blocks_rows = None
+    zz_rows = None
     local: dict[int, bytes] = {}
     for s in sorted(rows):
         us, nb, ov = rows[s]
@@ -472,10 +478,10 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
             # never-overflowing worst tier on this process's devices
             cap_u3 = scan_caps(stripe_layout, quality, "worst")[0]
             if optimize:
-                if blocks_rows is None:
-                    blocks_rows = _local_rows(blocks)
-                part, ok = plan.entropy_scan_bytes(
-                    blocks_rows[s][0], luts, cap_u3, 56,
+                if zz_rows is None:
+                    zz_rows = _local_rows(zz)
+                part, ok = plan.entropy_scan_bytes_zz(
+                    zz_rows[s][0], luts, cap_u3, 56,
                     first_rst=g0, n_rst=n_rst_s)
             else:
                 part, ok = plan.encode_scan_bytes(

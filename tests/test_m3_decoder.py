@@ -72,3 +72,21 @@ def test_decode_pillow_optimized_restart_color(rgb_image):
     theirs = np.asarray(Image.open(buf).convert("RGB"))
     assert ours.shape == theirs.shape
     assert psnr(ours, theirs) > 30.0
+
+
+def test_decode_batch_matches_single(rgb_image, gray_image):
+    """Batched device reconstruction must agree with per-image decode
+    (vmapped matmul reassociation may shift the odd pixel by 1)."""
+    from jpgenc_tpu.api import decode_batch, encode
+    files = [encode(rgb_image, quality=q) for q in (50, 75, 90)]
+    batch = decode_batch(files)
+    for data, got in zip(files, batch):
+        one = decode(data)
+        assert got.shape == one.shape
+        assert np.abs(got.astype(int) - one.astype(int)).max() <= 1
+
+    # mixed geometries fall back to per-image decode
+    mixed = [api.encode(rgb_image, quality=75),
+             api.encode(gray_image, quality=75)]
+    outs = decode_batch(mixed)
+    assert outs[0].ndim == 3 and outs[1].ndim == 2
