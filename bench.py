@@ -102,15 +102,23 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
     assert outs[0][:2] == b"\xff\xd8" and outs[0][-2:] == b"\xff\xd9"
     # sustained pipelined loop: batch k+1's device compute is queued before
     # batch k's results are fetched/assembled, so the download + host
-    # stuffing overlap the next batch's encode (async dispatch)
+    # stuffing overlap the next batch's encode (async dispatch). Each
+    # iteration is timed separately and the MEDIAN is reported — the tunnel
+    # link on this platform has multi-hundred-ms latency spikes that a
+    # single averaged loop lets one straggler poison.
     pending = launch()
-    t0 = time.perf_counter()
+    iters = []
     for _ in range(n_iter - 1):
+        t0 = time.perf_counter()
         nxt = launch()
         outs = collect(pending)
+        iters.append(time.perf_counter() - t0)
         pending = nxt
+    t0 = time.perf_counter()
     outs = collect(pending)
-    return (time.perf_counter() - t0) / n_iter, outs
+    iters.append(time.perf_counter() - t0)
+    iters.sort()
+    return iters[len(iters) // 2], outs
 
 
 def _psnr_bpp(data: bytes, img: np.ndarray, quality: int) -> dict:
@@ -305,8 +313,22 @@ def main() -> None:
             decode_one(outs[i])
         row["single_mpix_per_s"] = round(H * W / 1e6
                                          / ((time.perf_counter() - t0) / 2), 2)
+        # device-resident decode (to_device=True): pixels stay in HBM for a
+        # training input pipeline — no RGB download, the production shape.
+        # block_until_ready returns early on this platform, so force
+        # completion by fetching one pixel.
+        def dec_dev():
+            out = decode_batch(files, to_device=True)
+            np.asarray(out[-1, -1, -1])
+        dec_dev()                                           # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(2):
+            dec_dev()
+        dsec_dev = (time.perf_counter() - t0) / 2
+        row["to_device_mpix_per_s"] = round(nb_dec * H * W / 1e6 / dsec_dev, 2)
         _log(f"decode 1080p: batch {row['mpix_per_s']} MPix/s; "
-             f"single {row['single_mpix_per_s']}")
+             f"single {row['single_mpix_per_s']}; "
+             f"to_device {row['to_device_mpix_per_s']}")
         return row
 
     _config("decode_1080p", cdec)

@@ -172,19 +172,22 @@ def _recon_jit(layout: FrameLayout, batch: int = 0):
     reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
     single device dispatch instead of per-component un-jitted helpers).
     batch > 0 builds the vmapped form over [B, n_total, 64] blocks and
-    [B, n_comps, 64] quant tables (decode_batch)."""
+    [B, n_comps, 64] quant tables (decode_batch). Output is cropped to the
+    true image size ON DEVICE (static slice) so the MCU padding rows never
+    cross the link."""
     key = (layout.height, layout.width, layout.subsampling, batch)
     fn = _RECON.get(key)
     if fn is not None:
         return fn
     offs = layout.comp_offsets
     comps = layout.comps
+    h, w = layout.height, layout.width
 
     if layout.is_gray:
         def _fn(blocks, qts):
             plane = X.zigzag_to_plane(blocks[:comps[0].n_blocks], qts[0],
                                       comps[0].plane_h, comps[0].plane_w)
-            return jnp.clip(jnp.round(plane), 0, 255).astype(jnp.uint8)
+            return jnp.clip(jnp.round(plane[:h, :w]), 0, 255).astype(jnp.uint8)
     else:
         c0 = comps[0]
 
@@ -197,7 +200,7 @@ def _recon_jit(layout: FrameLayout, batch: int = 0):
             cb = C.upsample_fancy(planes[1], c0.hs, c0.vs)
             cr = C.upsample_fancy(planes[2], c0.hs, c0.vs)
             rgb = C.ycbcr_to_rgb(jnp.stack([y, cb, cr], axis=-1))
-            return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+            return jnp.clip(jnp.round(rgb[:h, :w]), 0, 255).astype(jnp.uint8)
 
     fn = jax.jit(jax.vmap(_fn) if batch else _fn)
     _RECON[key] = fn
@@ -205,12 +208,16 @@ def _recon_jit(layout: FrameLayout, batch: int = 0):
 
 
 def reconstruct_pixels(layout: FrameLayout, all_blocks: np.ndarray,
-                       qtables) -> np.ndarray:
+                       qtables, to_device: bool = False):
     """Device reconstruction: blocks -> uint8 image, cropped to original size.
 
     qtables: dict keyed by the layout's quant-table ids, or a per-component
     sequence of [64]-element natural-order tables (foreign files may assign
     any Tq per component).
+
+    to_device=True returns the on-device jax.Array instead of downloading —
+    the production shape when decoded pixels feed a training input pipeline
+    (the device->host link is the decode bottleneck on this platform).
     """
     if isinstance(qtables, dict):
         qts = [np.asarray(qtables[c.qtab]) for c in layout.comps]
@@ -221,7 +228,7 @@ def reconstruct_pixels(layout: FrameLayout, all_blocks: np.ndarray,
     # halving the upload matters — the host->device link is the decode
     # bottleneck on this platform (12.5 -> 6.3 MB at 1080p)
     out = _recon_jit(layout)(jnp.asarray(all_blocks.astype(np.int16)), qts)
-    return np.asarray(out)[:layout.height, :layout.width]
+    return out if to_device else np.asarray(out)
 
 
 def layout_from_parsed(parsed: ParsedJpeg) -> FrameLayout:
@@ -237,8 +244,12 @@ def decode_to_coefficients(data: bytes) -> tuple[FrameLayout, np.ndarray, dict]:
     return layout, blocks, parsed.qtables
 
 
-def decode(data: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 image ([H,W] grayscale or [H,W,3] RGB)."""
+def decode(data: bytes, to_device: bool = False):
+    """JPEG bytes -> uint8 image ([H,W] grayscale or [H,W,3] RGB).
+
+    to_device=True keeps the decoded pixels in HBM (returns a jax.Array)
+    instead of downloading — for feeding device-side input pipelines.
+    """
     parsed = parse_jpeg(data)
     layout = layout_from_parsed(parsed)
     blocks = decode_scan_to_blocks(parsed, layout)
@@ -248,10 +259,10 @@ def decode(data: bytes) -> np.ndarray:
             raise ValueError(
                 f"component {ci} references undefined quant table {c.qtab}")
         qts.append(parsed.qtables[c.qtab])
-    return reconstruct_pixels(layout, blocks, qts)
+    return reconstruct_pixels(layout, blocks, qts, to_device=to_device)
 
 
-def decode_batch(datas: list[bytes]) -> list[np.ndarray]:
+def decode_batch(datas: list[bytes], to_device: bool = False):
     """Decode same-geometry JPEGs with ONE batched device reconstruction.
 
     Host side parses + entropy-decodes each scan (native C++, the GIL is
@@ -260,12 +271,17 @@ def decode_batch(datas: list[bytes]) -> list[np.ndarray]:
     whole batch — amortizing the per-dispatch cost that dominates
     single-image decode on this platform. Falls back to per-image decode
     when geometries differ.
+
+    to_device=True returns the stacked [B, H, W(, 3)] jax.Array still in
+    HBM — zero download, the training-input-pipeline shape.
     """
     if not datas:
         return []
     parsed = [parse_jpeg(d) for d in datas]
     key0 = (parsed[0].height, parsed[0].width, parsed[0].subsampling)
     if any((p.height, p.width, p.subsampling) != key0 for p in parsed):
+        if to_device:
+            raise ValueError("to_device=True requires same-geometry inputs")
         return [decode(d) for d in datas]
     layout = layout_from_parsed(parsed[0])
 
@@ -289,5 +305,7 @@ def decode_batch(datas: list[bytes]) -> list[np.ndarray]:
            for i in range(n_comps)]
     blk = jnp.asarray(np.stack(blocks).astype(np.int16))
     out = _recon_jit(layout, batch=len(datas))(blk, qts)
-    arr = np.asarray(out)[:, :layout.height, :layout.width]
+    if to_device:
+        return out
+    arr = np.asarray(out)
     return [arr[i] for i in range(arr.shape[0])]

@@ -90,3 +90,23 @@ def test_decode_batch_matches_single(rgb_image, gray_image):
              api.encode(gray_image, quality=75)]
     outs = decode_batch(mixed)
     assert outs[0].ndim == 3 and outs[1].ndim == 2
+
+
+def test_decode_to_device(rgb_image):
+    """to_device=True keeps pixels in HBM (jax.Array), values identical to
+    the host-download path, cropped to true size on device."""
+    import jax
+    data = api.encode(rgb_image, quality=75)
+    host = decode(data)
+    dev = decode(data, to_device=True)
+    assert isinstance(dev, jax.Array)
+    assert dev.shape == host.shape and dev.dtype == host.dtype
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+    files = [data, api.encode(rgb_image, quality=90)]
+    stacked = api.decode_batch(files, to_device=True)
+    assert isinstance(stacked, jax.Array)
+    assert stacked.shape == (2,) + host.shape
+    singles = api.decode_batch(files)
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(stacked[i]), singles[i])
