@@ -15,14 +15,20 @@ from jpgenc_tpu.decoder import decode, decode_batch  # noqa: F401  (public API r
 from jpgenc_tpu.ref.encoder import standard_tables
 
 
-def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
+def encode(img, quality: int = 75, subsampling: str = "420",
            restart_interval: int = 0, optimize: bool = False) -> bytes:
     """Baseline JFIF encode of a [H,W] grayscale or [H,W,3] RGB uint8 image,
-    computed on the default JAX device (TPU when present)."""
+    computed on the default JAX device (TPU when present).
+
+    img may be a numpy array (uploaded per call) or a device-resident
+    jax.Array (no upload — the production shape when pixels are already in
+    HBM, e.g. from a data pipeline or decode(to_device=True))."""
+    import jax
     cfg = EncodeConfig(quality=quality, subsampling=subsampling,
                        restart_interval=restart_interval,
                        optimize_huffman=optimize)
-    img = np.ascontiguousarray(img)
+    if not isinstance(img, jax.Array):
+        img = np.ascontiguousarray(img)
     if img.dtype != np.uint8:
         raise ValueError("image must be uint8")
     mode = "gray" if img.ndim == 2 else cfg.subsampling
@@ -41,11 +47,12 @@ def encode(img: np.ndarray, quality: int = 75, subsampling: str = "420",
              (scan_caps(layout, cfg.quality, "worst")[0], 56)]
     tiers = [t for i, t in enumerate(tiers) if t not in tiers[:i]]
     if cfg.optimize_huffman:
-        # pass 1 caches the SCAN-ORDERED zigzag tensor (Pallas K1 on TPU):
-        # neither pass pays the raster->scan gather, and pass 2 feeds the
-        # fused entropy kernels directly (SURVEY.md call stack 4.3)
-        zz = plan.zz_scan(img, qt_dev)
-        freq = np.asarray(plan.histogram_zz(zz))
+        # pass 1 caches the SCAN-ORDERED zigzag tensor (Pallas K1 on TPU)
+        # and computes the symbol histogram in the same dispatch: neither
+        # pass pays the raster->scan gather, and pass 2 feeds the fused
+        # entropy kernels directly (SURVEY.md call stack 4.3)
+        zz, freq_dev = plan.zz_and_histogram(img, qt_dev)
+        freq = np.asarray(freq_dev)
         n_tabs = 1 if layout.is_gray else 2
         dc_tables = [build_codes(*optimize_tables(freq[0, t].astype(np.int64)))
                      for t in range(n_tabs)]

@@ -309,6 +309,14 @@ class DevicePlan:
             return symbol_histogram(zz.astype(jnp.int32), plan)
 
         @jax.jit
+        def _zz_hist(img, qtabs, plan):
+            # optimize pass 1 in ONE dispatch: K1 + histogram (zz stays in
+            # HBM for pass 2; a separate histogram dispatch costs a full
+            # tunnel round trip on this platform)
+            zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas_default())
+            return zz, symbol_histogram(zz.astype(jnp.int32), plan)
+
+        @jax.jit
         def _entropy_zz(zz, plan, luts):
             return scan_to_segments(zz.astype(jnp.int32), plan, luts,
                                     n_seg, words)
@@ -319,6 +327,7 @@ class DevicePlan:
         self._hist = _hist
         self._zz = _zz
         self._hist_zz = _hist_zz
+        self._zz_hist = _zz_hist
         self._entropy_zz = _entropy_zz
         self._bytes_fns: dict[tuple, dict] = {}
         self._prefix_guess = 1024   # adaptive speculative-fetch length (u32 words)
@@ -445,6 +454,11 @@ class DevicePlan:
 
     def histogram_zz(self, zz):
         return self._hist_zz(zz, self.plan)
+
+    def zz_and_histogram(self, img, qtabs):
+        """Optimize-mode pass 1: (scan-ordered zigzag blocks, symbol
+        histogram) in a single device dispatch."""
+        return self._zz_hist(img, qtabs, self.plan)
 
 
 _PLANS: dict[tuple, DevicePlan] = {}

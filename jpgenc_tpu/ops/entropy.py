@@ -148,29 +148,71 @@ def make_pieces(zz_scan: jnp.ndarray, plan: SymbolPlan,
     return piece_val, piece_len.astype(_I32)
 
 
+def _make_ac_bin_maps():
+    """Static 160-bin <-> 256-symbol maps (value symbols: run 0..15 x ssss
+    1..10, packed bin = run*10 + ssss-1). Plain numpy so the constants are
+    re-lifted fresh under every trace (a cached jnp constant created inside
+    one trace leaks as a tracer into the next)."""
+    import numpy as np
+    sym_of_bin = np.zeros(256, np.int32)
+    take = np.zeros(256, bool)
+    for b in range(160):
+        s256 = ((b // 10) << 4) | (b % 10 + 1)
+        sym_of_bin[s256] = b
+        take[s256] = True
+    return sym_of_bin, take
+
+
+_AC_SYM_OF_BIN, _AC_BIN_TAKE = _make_ac_bin_maps()
+
+
 def symbol_histogram(zz_scan: jnp.ndarray, plan: SymbolPlan) -> jnp.ndarray:
     """Per-table symbol frequencies for the two-pass optimized-Huffman mode.
 
     Returns [2 (dc,ac), 2 (table id), 256] int32 counts — the device side of
     SURVEY.md call stack 4.3 (psum across chips happens at the caller).
+
+    Formulated as a COMPARE-REDUCE over a dense 160-bin value-symbol domain
+    (run 0..15 x ssss 1..10) instead of a scatter-add: XLA fuses the virtual
+    [S*64, 160] equality broadcast into the reduction, so the data makes one
+    pass through the VPU with no data-dependent indices. Measured 4.5x
+    faster than the scatter formulation at 4K (147 -> 33 ms, 12.4M
+    positions; docs/PERFORMANCE.md — every data-dependent index costs ~10 ns
+    on this platform). Table-id split uses the difference trick: count
+    (bin & tab==0) and total(bin), table 1 = total - table 0.
     """
     a = analyze(zz_scan, plan)
     v = plan.valid
     freq = jnp.zeros((2, 2, 256), _I32)
 
-    # DC: one symbol (SSSS) per valid block
-    freq = freq.at[0, plan.dc_tab, a.dc_s].add(jnp.where(v, 1, 0))
-
-    # AC value symbols
+    # AC value symbols over the packed 160-bin domain
     ac_on = a.nz & v[:, None]
-    sym = jnp.where(ac_on, a.ac_sym, 0)
-    freq = freq.at[1, plan.ac_tab[:, None], sym].add(jnp.where(ac_on, 1, 0))
-    # remove the spurious bin-0 adds from masked-off positions? none: masked adds 0.
+    run = a.ac_sym >> 4
+    ssss = a.ac_sym & 15
+    packed = jnp.where(ac_on, run * 10 + ssss - 1, -1).reshape(-1)
+    tab = jnp.broadcast_to(plan.ac_tab[:, None], a.ac_sym.shape).reshape(-1)
+    bins = jnp.arange(160, dtype=_I32)
+    t0 = ((packed[:, None] == bins[None, :]) &
+          (tab[:, None] == 0)).sum(axis=0, dtype=_I32)
+    tot = (packed[:, None] == bins[None, :]).sum(axis=0, dtype=_I32)
+    sym_of_bin, take = _AC_SYM_OF_BIN, _AC_BIN_TAKE
+    freq = freq.at[1, 0].set(jnp.where(take, t0[sym_of_bin], 0))
+    freq = freq.at[1, 1].set(jnp.where(take, (tot - t0)[sym_of_bin], 0))
 
-    # ZRL multiplicity
+    # DC: one SSSS symbol (0..11) per valid block
+    dbins = jnp.arange(12, dtype=_I32)
+    dsym = jnp.where(v, a.dc_s, -1)
+    d0 = ((dsym[:, None] == dbins[None, :]) &
+          (plan.dc_tab[:, None] == 0)).sum(axis=0, dtype=_I32)
+    dtot = (dsym[:, None] == dbins[None, :]).sum(axis=0, dtype=_I32)
+    freq = freq.at[0, 0, :12].set(d0)
+    freq = freq.at[0, 1, :12].set(dtot - d0)
+
+    # ZRL multiplicity + EOB (scalar sums, not scatters)
     zrl_n = jnp.where(ac_on, a.n_zrl, 0)
-    freq = freq.at[1, plan.ac_tab, 0xF0].add(zrl_n.sum(axis=1))
-
-    # EOB
-    freq = freq.at[1, plan.ac_tab, 0].add(jnp.where(a.eob & v, 1, 0))
+    for t_ in range(2):
+        m = plan.ac_tab == t_
+        freq = freq.at[1, t_, 0xF0].add(
+            jnp.where(m, zrl_n.sum(axis=1), 0).sum())
+        freq = freq.at[1, t_, 0].add(jnp.where(m & a.eob & v, 1, 0).sum())
     return freq

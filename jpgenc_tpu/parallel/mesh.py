@@ -234,6 +234,20 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
         "zz": jax.jit(
             jax.vmap(_zz1, in_axes=(0, None)),
             in_shardings=(sh_img, rep)),
+        # optimize pass 1 in one dispatch: K1 + per-image histograms
+        "zz_hist": jax.jit(
+            jax.vmap(lambda img, qtabs, splan:
+                     (lambda zz: (zz, _hist1(zz, splan)))(_zz1(img, qtabs)),
+                     in_axes=(0, None, None)),
+            in_shardings=(sh_img, rep, rep)),
+        # stripe variant: K1 + GLOBAL histogram (summed over the mesh)
+        "zz_hist_sum": jax.jit(
+            lambda imgs, qtabs, splan:
+            (lambda zz: (zz, jax.vmap(_hist1, in_axes=(0, None))(
+                zz, splan).sum(axis=0)))(
+                jax.vmap(_zz1, in_axes=(0, None))(imgs, qtabs)),
+            in_shardings=(sh_img, rep, rep),
+            out_shardings=(sh_blk, rep)),
         # per-image custom LUTs (optimize mode): luts batched over axis 0
         "entropy_bytes_perimg": jax.jit(
             jax.vmap(_entropy1_bytes, in_axes=(0, None, 0)),
@@ -322,8 +336,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
 
     n_tabs = 1 if layout.is_gray else 2
     if cfg.optimize_huffman:
-        zz = fns["zz"](imgs_dev, qt_dev)
-        hist = fns["hist"](zz, plan.plan)
+        zz, hist = fns["zz_hist"](imgs_dev, qt_dev, plan.plan)
         # per-image histograms live sharded across hosts: each host builds
         # tables for its own rows, then the table blobs are exchanged so
         # every process traces the same replicated luts_b (SPMD requirement)
@@ -448,9 +461,10 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     segs_per_stripe = stripe_layout.n_segments
 
     if optimize:
-        zz = fns["zz"](stripes_dev, qt_dev)
-        # global histogram: psum over the stripe axis (ICI collective on TPU)
-        freq = np.asarray(fns["hist_sum"](zz, plan.plan))
+        # K1 + global histogram in one dispatch (psum over the stripe axis —
+        # ICI collective on TPU)
+        zz, freq_dev = fns["zz_hist_sum"](stripes_dev, qt_dev, plan.plan)
+        freq = np.asarray(freq_dev)
         dc_tables, ac_tables = _build_tables_from_freq(freq, n_tabs)
         luts = luts_from_tables(dc_tables, ac_tables)
         u, nbytes, ovf = fns["entropy_bytes_shared"](zz, plan.plan, luts)

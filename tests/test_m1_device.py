@@ -117,3 +117,13 @@ def test_determinism_across_runs(gray_image):
     a = api.encode(gray_image, quality=75)
     b = api.encode(gray_image, quality=75)
     assert a == b
+
+
+def test_encode_device_resident_input(rgb_image):
+    """encode() accepts an HBM-resident jax.Array (no host round-trip) and
+    produces bytes identical to the numpy path, both modes."""
+    import jax
+    dev = jax.device_put(rgb_image)
+    assert api.encode(dev, quality=75) == api.encode(rgb_image, quality=75)
+    assert (api.encode(dev, quality=80, optimize=True)
+            == api.encode(rgb_image, quality=80, optimize=True))
