@@ -167,31 +167,67 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
 _RECON: dict[tuple, object] = {}
 
 
-def _recon_jit(layout: FrameLayout, batch: int = 0):
+def _sparsify(blocks: np.ndarray, cap: int | None = None) -> np.ndarray:
+    """Dense [n_total, 64] coefficients -> [3, cap] int16 sparse triple rows
+    (idx_lo, idx_hi, value), idx = flat position. Baseline quantized
+    coefficients are ~97% zeros at photographic qualities, so this is the
+    form that crosses the host->device link (6.3 MB dense -> ~0.5 MB at
+    1080p Q75 — the link is the decode bottleneck on this platform).
+    Padding entries carry an out-of-bounds idx and are dropped by the
+    device-side scatter (mode='drop')."""
+    nz = np.flatnonzero(blocks)
+    if cap is None:
+        cap = max(4096, 1 << int(np.ceil(np.log2(max(nz.size, 1)))))
+    out = np.empty((3, cap), np.int16)
+    n = nz.size
+    out[0, :n] = (nz & 0xFFFF).astype(np.int16)
+    out[1, :n] = (nz >> 16).astype(np.int16)
+    out[2, :n] = blocks.reshape(-1)[nz].astype(np.int16)
+    sentinel = blocks.size                   # one past the end -> dropped
+    out[0, n:] = np.uint16(sentinel & 0xFFFF).view(np.int16)
+    out[1, n:] = np.uint16(sentinel >> 16).view(np.int16)
+    out[2, n:] = 0
+    return out
+
+
+def _densify(sparse, n_total: int):
+    """[3, cap] int16 sparse rows -> [n_total, 64] int16 blocks on device."""
+    idx = (sparse[0].astype(jnp.int32) & 0xFFFF) | \
+        (sparse[1].astype(jnp.int32) << 16)
+    flat = jnp.zeros((n_total * 64,), jnp.int16)
+    return flat.at[idx].set(sparse[2], mode="drop").reshape(n_total, 64)
+
+
+def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False):
     """One jitted blocks->pixels pipeline per layout geometry (the whole
     reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
     single device dispatch instead of per-component un-jitted helpers).
-    batch > 0 builds the vmapped form over [B, n_total, 64] blocks and
+    batch > 0 builds the vmapped form over [B, ...] inputs and
     [B, n_comps, 64] quant tables (decode_batch). Output is cropped to the
     true image size ON DEVICE (static slice) so the MCU padding rows never
-    cross the link."""
-    key = (layout.height, layout.width, layout.subsampling, batch)
+    cross the link.
+
+    sparse=True takes [3, cap] int16 sparse coefficient rows (see
+    `_sparsify`) and densifies on device in the SAME dispatch — the
+    host->device link only carries the nonzeros."""
+    key = (layout.height, layout.width, layout.subsampling, batch, sparse)
     fn = _RECON.get(key)
     if fn is not None:
         return fn
     offs = layout.comp_offsets
     comps = layout.comps
     h, w = layout.height, layout.width
+    n_total = sum(c.n_blocks for c in comps)
 
     if layout.is_gray:
-        def _fn(blocks, qts):
+        def _pix(blocks, qts):
             plane = X.zigzag_to_plane(blocks[:comps[0].n_blocks], qts[0],
                                       comps[0].plane_h, comps[0].plane_w)
             return jnp.clip(jnp.round(plane[:h, :w]), 0, 255).astype(jnp.uint8)
     else:
         c0 = comps[0]
 
-        def _fn(blocks, qts):
+        def _pix(blocks, qts):
             planes = [
                 X.zigzag_to_plane(blocks[offs[i]:offs[i] + comps[i].n_blocks],
                                   qts[i], comps[i].plane_h, comps[i].plane_w)
@@ -201,6 +237,12 @@ def _recon_jit(layout: FrameLayout, batch: int = 0):
             cr = C.upsample_fancy(planes[2], c0.hs, c0.vs)
             rgb = C.ycbcr_to_rgb(jnp.stack([y, cb, cr], axis=-1))
             return jnp.clip(jnp.round(rgb[:h, :w]), 0, 255).astype(jnp.uint8)
+
+    if sparse:
+        def _fn(sp, qts):
+            return _pix(_densify(sp, n_total), qts)
+    else:
+        _fn = _pix
 
     fn = jax.jit(jax.vmap(_fn) if batch else _fn)
     _RECON[key] = fn
@@ -224,10 +266,18 @@ def reconstruct_pixels(layout: FrameLayout, all_blocks: np.ndarray,
     else:
         qts = [np.asarray(q) for q in qtables]
     qts = [jnp.asarray(q.reshape(64).astype(np.int32)) for q in qts]
-    # baseline coefficients fit i16 (|DC| <= 1024, SSSS <= 10 for AC):
-    # halving the upload matters — the host->device link is the decode
-    # bottleneck on this platform (12.5 -> 6.3 MB at 1080p)
-    out = _recon_jit(layout)(jnp.asarray(all_blocks.astype(np.int16)), qts)
+    # baseline coefficients fit i16 (|DC| <= 1024, SSSS <= 10 for AC) and
+    # are ~97% zeros at photographic qualities: upload the SPARSE form
+    # (one put) and densify inside the recon dispatch — the host->device
+    # link is the decode bottleneck on this platform (6.3 MB dense ->
+    # ~0.5 MB sparse at 1080p Q75). Pathological dense content (sparse
+    # encoding would be bigger) falls back to the dense upload.
+    sp = _sparsify(all_blocks)
+    if sp.nbytes < all_blocks.size * 2:
+        out = _recon_jit(layout, sparse=True)(jnp.asarray(sp), qts)
+    else:
+        out = _recon_jit(layout)(jnp.asarray(all_blocks.astype(np.int16)),
+                                 qts)
     return out if to_device else np.asarray(out)
 
 
@@ -303,8 +353,15 @@ def decode_batch(datas: list[bytes], to_device: bool = False):
     n_comps = len(parsed[0].comps)
     qts = [jnp.asarray(np.stack([row[i] for row in qts_b]))
            for i in range(n_comps)]
-    blk = jnp.asarray(np.stack(blocks).astype(np.int16))
-    out = _recon_jit(layout, batch=len(datas))(blk, qts)
+    # shared power-of-2 cap across the batch -> one [B, 3, cap] upload
+    nnz_max = max(int(np.count_nonzero(b)) for b in blocks)
+    cap = max(4096, 1 << int(np.ceil(np.log2(max(nnz_max, 1)))))
+    if 3 * 2 * cap < blocks[0].size * 2:
+        sp = jnp.asarray(np.stack([_sparsify(b, cap) for b in blocks]))
+        out = _recon_jit(layout, batch=len(datas), sparse=True)(sp, qts)
+    else:
+        blk = jnp.asarray(np.stack(blocks).astype(np.int16))
+        out = _recon_jit(layout, batch=len(datas))(blk, qts)
     if to_device:
         return out
     arr = np.asarray(out)

@@ -110,3 +110,28 @@ def test_decode_to_device(rgb_image):
     singles = api.decode_batch(files)
     for i in range(2):
         np.testing.assert_array_equal(np.asarray(stacked[i]), singles[i])
+
+
+def test_sparsify_densify_roundtrip():
+    """The sparse coefficient upload form (decoder._sparsify/_densify) is
+    exact: dense -> sparse -> device densify == dense, including the
+    all-zero and the pathological-dense cases (the latter exercising the
+    fallback cutoff in reconstruct_pixels)."""
+    import jax
+    from jpgenc_tpu.decoder import _densify, _sparsify
+
+    rng = np.random.default_rng(7)
+    for density in (0.0, 0.03, 1.0):
+        blocks = np.where(rng.random((300, 64)) < density,
+                          rng.integers(-1024, 1024, (300, 64)), 0) \
+            .astype(np.int32)
+        sp = _sparsify(blocks)
+        assert sp.dtype == np.int16 and sp.shape[0] == 3
+        back = np.asarray(jax.jit(
+            lambda s: _densify(s, 300))(jnp_asarray(sp)))
+        np.testing.assert_array_equal(back, blocks.astype(np.int16))
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
