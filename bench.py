@@ -211,7 +211,7 @@ def main() -> None:
         ghdr = build_headers(glayout, list(gqt_host), *gtabs)
         gdev = put_batch(gray, gfns["sharding_img"])
         gsec, gouts = _run_pipeline(glayout, gplan, gfns, gqt_dev, gluts,
-                                    gdev, ghdr, B, n_iter=6)
+                                    gdev, ghdr, B, n_iter=8)
         gq = _psnr_bpp(gouts[0], gray[0], 75)
         row = {"mpix_per_s": round(B * 512 * 512 / 1e6 / gsec, 2), **gq}
         _log(f"c7 gray 512: {row['mpix_per_s']} MPix/s; "
@@ -230,7 +230,7 @@ def main() -> None:
                 rlayout, q, B, mesh)
             rhdr = build_headers(rlayout, list(rqt_host), *rtabs)
             rsec, routs = _run_pipeline(rlayout, rplan, rfns, rqt_dev, rluts,
-                                        frames_dev, rhdr, B, n_iter=3)
+                                        frames_dev, rhdr, B, n_iter=8)
             sq = _psnr_bpp(routs[0], frames[0], q)
             sweep[f"q{q}"] = {"mpix_per_s": round(mpix / rsec, 2), **sq}
             _log(f"c9 Q{q}+DRI120: {sweep[f'q{q}']['mpix_per_s']} MPix/s; "

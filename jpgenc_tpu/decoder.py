@@ -198,26 +198,14 @@ def _densify(sparse, n_total: int):
     return flat.at[idx].set(sparse[2], mode="drop").reshape(n_total, 64)
 
 
-def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False):
-    """One jitted blocks->pixels pipeline per layout geometry (the whole
-    reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
-    single device dispatch instead of per-component un-jitted helpers).
-    batch > 0 builds the vmapped form over [B, ...] inputs and
-    [B, n_comps, 64] quant tables (decode_batch). Output is cropped to the
-    true image size ON DEVICE (static slice) so the MCU padding rows never
-    cross the link.
-
-    sparse=True takes [3, cap] int16 sparse coefficient rows (see
-    `_sparsify`) and densifies on device in the SAME dispatch — the
-    host->device link only carries the nonzeros."""
-    key = (layout.height, layout.width, layout.subsampling, batch, sparse)
-    fn = _RECON.get(key)
-    if fn is not None:
-        return fn
+def pixel_fn(layout: FrameLayout):
+    """The single-image device reconstruction: ([n_total, 64] coefficient
+    blocks, per-component [64] natural-order quant tables) -> uint8 pixels
+    cropped to the true image size. Traceable — the building block for the
+    jitted/vmapped/sharded decode paths (here and parallel.mesh)."""
     offs = layout.comp_offsets
     comps = layout.comps
     h, w = layout.height, layout.width
-    n_total = sum(c.n_blocks for c in comps)
 
     if layout.is_gray:
         def _pix(blocks, qts):
@@ -237,6 +225,28 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False):
             cr = C.upsample_fancy(planes[2], c0.hs, c0.vs)
             rgb = C.ycbcr_to_rgb(jnp.stack([y, cb, cr], axis=-1))
             return jnp.clip(jnp.round(rgb[:h, :w]), 0, 255).astype(jnp.uint8)
+
+    return _pix
+
+
+def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False):
+    """One jitted blocks->pixels pipeline per layout geometry (the whole
+    reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
+    single device dispatch instead of per-component un-jitted helpers).
+    batch > 0 builds the vmapped form over [B, ...] inputs and
+    [B, n_comps, 64] quant tables (decode_batch). Output is cropped to the
+    true image size ON DEVICE (static slice) so the MCU padding rows never
+    cross the link.
+
+    sparse=True takes [3, cap] int16 sparse coefficient rows (see
+    `_sparsify`) and densifies on device in the SAME dispatch — the
+    host->device link only carries the nonzeros."""
+    key = (layout.height, layout.width, layout.subsampling, batch, sparse)
+    fn = _RECON.get(key)
+    if fn is not None:
+        return fn
+    n_total = sum(c.n_blocks for c in layout.comps)
+    _pix = pixel_fn(layout)
 
     if sparse:
         def _fn(sp, qts):

@@ -512,3 +512,115 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     file_layout = make_layout(h, w, mode, r)
     hdr = build_headers(file_layout, list(qt_host), dc_tables, ac_tables)
     return hdr + scan + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Sharded batch DECODE (layer G, the inverse of encode_batch): JPEG files ->
+# pixels sharded over the mesh batch axis. The production shape is
+# to_device=True — decoded pixels stay in HBM as one sharded [B, H, W(,3)]
+# array feeding a training-input pipeline; nothing crosses back to hosts.
+# ---------------------------------------------------------------------------
+
+_DEC_FNS: dict[tuple, object] = {}
+
+
+def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
+                 to_device: bool = True):
+    """Decode same-geometry baseline JPEGs sharded over the mesh batch axis.
+
+    Host side: each process parses headers for every file but
+    entropy-decodes (native C++ under a thread pool) ONLY the images whose
+    batch rows live on its own devices; coefficients cross the link in the
+    sparse [3, cap] int16 form (decoder._sparsify) and are densified inside
+    the single vmapped reconstruction dispatch.
+
+    to_device=True (default) returns the sharded [B, H, W(,3)] uint8
+    jax.Array. to_device=False downloads and returns a per-image list —
+    single-process meshes only (decoded pixels are deliberately never
+    gathered across hosts; fetch shards from the returned array instead).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jpgenc_tpu.container.parser import parse_jpeg
+    from jpgenc_tpu.decoder import (_densify, _sparsify,
+                                    decode_scan_to_blocks,
+                                    layout_from_parsed, pixel_fn)
+    from jpgenc_tpu.parallel import multihost
+
+    if not datas:
+        return []
+    mesh = _as_mesh(mesh) or default_mesh()
+    if mesh.devices.ndim != 1:
+        raise ValueError("decode_batch expects a 1-D ('batch',) mesh")
+    if not to_device and multihost.process_count() > 1:
+        raise ValueError("to_device=False on a multi-host mesh: pixels are "
+                         "not gathered across hosts — use to_device=True "
+                         "and read your process's addressable shards")
+
+    parsed = [parse_jpeg(d) for d in datas]
+    key0 = (parsed[0].height, parsed[0].width, parsed[0].subsampling)
+    if any((p.height, p.width, p.subsampling) != key0 for p in parsed):
+        raise ValueError("decode_batch requires same-geometry inputs")
+    layout = layout_from_parsed(parsed[0])
+    n_total = sum(c.n_blocks for c in layout.comps)
+    n_comps = len(layout.comps)
+
+    b = len(datas)
+    n_dev = mesh.devices.size
+    pad = (-b) % n_dev
+    B = b + pad
+    parsed = parsed + [parsed[-1]] * pad
+
+    # rows this process owns (contiguous batch sharding)
+    rows_per = B // n_dev
+    owned = sorted(
+        {d_i * rows_per + k
+         for d_i, dev in enumerate(mesh.devices.flat)
+         if dev.process_index == jax.process_index()
+         for k in range(rows_per)})
+
+    with ThreadPoolExecutor(max_workers=min(8, max(len(owned), 1))) as ex:
+        blocks = dict(zip(owned, ex.map(
+            lambda i: decode_scan_to_blocks(parsed[i], layout), owned)))
+
+    # one cap for the whole mesh (SPMD: every process must trace the same
+    # shapes) — max local nnz, maxed across processes via the control plane
+    nnz = max((int(np.count_nonzero(v)) for v in blocks.values()), default=1)
+    if multihost.process_count() > 1:
+        from jax.experimental import multihost_utils
+        nnz = int(np.max(multihost_utils.process_allgather(np.int64(nnz))))
+    cap = max(4096, 1 << int(np.ceil(np.log2(max(nnz, 1)))))
+
+    sp = np.zeros((B, 3, cap), np.int16)
+    qt = np.zeros((B, n_comps, 64), np.int32)
+    for i in owned:
+        sp[i] = _sparsify(blocks[i], cap)
+        for ci, c in enumerate(parsed[i].comps):
+            if c.qtab not in parsed[i].qtables:
+                raise ValueError(
+                    f"component {ci} references undefined quant table {c.qtab}")
+            qt[i, ci] = np.asarray(parsed[i].qtables[c.qtab]).reshape(64)
+
+    sh_sp = NamedSharding(mesh, P("batch", None, None))
+    sh_qt = NamedSharding(mesh, P("batch", None, None))
+    sh_img = NamedSharding(
+        mesh, P("batch", *([None] * (2 if layout.is_gray else 3))))
+
+    fkey = (layout.height, layout.width, layout.subsampling, mesh, B)
+    fn = _DEC_FNS.get(fkey)
+    if fn is None:
+        _pix = pixel_fn(layout)
+
+        def _dec1(sp1, qt1):
+            return _pix(_densify(sp1, n_total),
+                        [qt1[i] for i in range(n_comps)])
+
+        fn = jax.jit(jax.vmap(_dec1), in_shardings=(sh_sp, sh_qt),
+                     out_shardings=sh_img)
+        _DEC_FNS[fkey] = fn
+
+    out = fn(put_batch(sp, sh_sp), put_batch(qt, sh_qt))
+    if to_device:
+        return out[:b] if pad else out
+    arr = np.asarray(out)
+    return [arr[i] for i in range(b)]

@@ -60,6 +60,23 @@ def main() -> int:
                  restart_interval=3)  # 48/16=3 MCUs per stripe row
     assert data == ref, f"proc {pid}: striped scan differs from single-device"
 
+    # --- sharded decode: each process entropy-decodes only its owned rows;
+    # pixels stay sharded; every process verifies its ADDRESSABLE shards
+    # against the single-device decoder (global device_get would raise)
+    from jpgenc_tpu.api import decode
+    from jpgenc_tpu.parallel.mesh import decode_batch as decode_sharded
+    files = [encode(imgs[i], quality=75, subsampling="420") for i in range(8)]
+    out = decode_sharded(files, mesh=mesh)          # sharded [8, 32, 48, 3]
+    checked = 0
+    for sh in out.addressable_shards:
+        start = sh.index[0].start or 0
+        local = np.asarray(sh.data)
+        for k in range(local.shape[0]):
+            np.testing.assert_array_equal(local[k], decode(files[start + k]))
+            checked += 1
+    assert checked == 8 // nproc, \
+        f"proc {pid}: expected {8 // nproc} local rows, got {checked}"
+
     print(f"MP_WORKER_OK {pid}", flush=True)
     return 0
 

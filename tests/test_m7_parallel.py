@@ -92,3 +92,31 @@ def test_multihost_helpers_single_process():
     assert mh.process_count() == 1
     assert mh.gather_bytes(b"abc") == [b"abc"]
     assert list(mh.owned_indices(10)) == list(range(10))
+
+
+def test_sharded_decode_batch_matches_single(rng):
+    """mesh.decode_batch: pixels decoded sharded over the batch axis equal
+    per-image api.decode, color + gray, including a batch size that is not
+    a multiple of the mesh (padding rows dropped)."""
+    from jpgenc_tpu.parallel.mesh import decode_batch as decode_sharded
+
+    imgs = _batch(rng, 8, 64, 64, 3)
+    files = [api.encode(imgs[i], quality=75) for i in range(8)]
+    out = decode_sharded(files)                      # sharded jax.Array
+    assert isinstance(out, jax.Array) and out.shape[0] == 8
+    arr = np.asarray(out)
+    for i in range(8):
+        np.testing.assert_array_equal(arr[i], decode(files[i]))
+
+    # non-divisible batch + to_device=False list form + gray
+    gfiles = [api.encode(_batch(rng, 1, 48, 40)[0], quality=80)
+              for _ in range(5)]
+    outs = decode_sharded(gfiles, to_device=False)
+    assert len(outs) == 5
+    for d, got in zip(gfiles, outs):
+        np.testing.assert_array_equal(got, decode(d))
+
+    # heterogeneous geometry is an explicit error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_sharded([files[0], gfiles[0]])
