@@ -69,6 +69,7 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
     import jax
 
     from jpgenc_tpu.engine import fetch_prefix, finalize_host_w, prefix_slice
+    from jpgenc_tpu.ops.pack import seg_nwords_aligned
 
     n_rst = layout.n_segments - 1
 
@@ -89,7 +90,7 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
         # in one device_get (each separate sync costs a full dispatch on
         # this link); refetch only if the guess fell short
         up, nb, ov = jax.device_get((up_dev, nbits, ovf))
-        total_w = int(((nb + 31) >> 5).sum(axis=1).max())
+        total_w = int(seg_nwords_aligned(nb).sum(axis=1).max())
         assert not ov.any() and total_w <= cap_w, \
             "capacity tier overflow — bench config needs a bigger tier"
         if total_w > up.shape[-1]:

@@ -396,7 +396,8 @@ class DevicePlan:
         up, nbits, ovf = jax.device_get(
             (prefix_slice(u_dev, self._prefix_guess - 1),
              nbits_dev, ovf_dev))
-        total_w = int(((nbits.astype(np.int64) + 31) >> 5).sum())
+        from jpgenc_tpu.ops.pack import seg_nwords_aligned
+        total_w = int(seg_nwords_aligned(nbits.astype(np.int64)).sum())
         if bool(ovf) or total_w > cap_u // 4:
             return b"", False
         if total_w > up.shape[-1]:
@@ -537,6 +538,7 @@ def finalize_host_w(up: np.ndarray, nbits: np.ndarray, first_rst: int,
         out = native.finalize_wcompact(up, nbits, first_rst, n_rst)
         if out is not None:
             return out
+    from jpgenc_tpu.ops.pack import seg_nwords_aligned
     b = np.ascontiguousarray(up).view(np.uint8)
     parts = []
     wb = 0
@@ -551,7 +553,7 @@ def finalize_host_w(up: np.ndarray, nbits: np.ndarray, first_rst: int,
         parts.append((np.insert(seg, ff + 1, 0) if ff.size else seg).tobytes())
         if s < n_rst:
             parts.append(bytes([0xFF, 0xD0 + ((first_rst + s) & 7)]))
-        wb += (bits + 31) >> 5
+        wb += int(seg_nwords_aligned(bits))   # WALIGN-chunked starts
     return b"".join(parts)
 
 
@@ -596,8 +598,10 @@ def scan_caps(layout: FrameLayout, quality: int,
     device pipeline. The host word path survives only as a last-resort
     safety net.
     """
+    # +32 bytes/segment: WALIGN-chunked segment starts in the wcompact
+    # stream (ops.pack.seg_nwords_aligned) waste up to 28 pad bytes each
     worst = sum(c.n_blocks for c in layout.comps) * MAX_BLOCK_BITS // 8 + \
-        2 * layout.n_segments + 8
+        32 * layout.n_segments + 8
     if tier == "worst":
         # stuffing at most doubles the data bytes (every byte 0xFF)
         return worst, 2 * worst + 16
@@ -606,7 +610,7 @@ def scan_caps(layout: FrameLayout, quality: int,
         bpp = 0.5 if quality <= 80 else (1.0 if quality <= 92 else 2.0)
     else:
         bpp = 2.0 if quality <= 80 else (4.0 if quality <= 92 else 7.0)
-    cap_u = min(int(px * bpp / 8) + 1024, worst)
+    cap_u = min(int(px * bpp / 8) + 1024 + 32 * layout.n_segments, worst)
     cap_u = -(-cap_u // 1024) * 1024
     cap_s = cap_u + cap_u // 16 + 64
     return cap_u, cap_s

@@ -145,6 +145,21 @@ def segments_from_blocks(buf: jnp.ndarray, bits: jnp.ndarray,
     return out.reshape(n_seg, w_seg), seg_bits
 
 
+WALIGN = 8   # wcompact segment starts are 8-word (32 B) aligned — lets the
+             # multi-segment compaction run as a chunk ROW gather (cost is
+             # per index, not per element on this platform) instead of a
+             # per-word gather; costs <= 28 pad bytes per segment
+
+
+def seg_nwords_aligned(nbits):
+    """Words a segment occupies in the wcompact stream: ceil(bits/32)
+    rounded up to the WALIGN chunk. Shared by the device compaction, the
+    host finalize offsets and every capacity/prefix-length computation
+    (np and jnp arrays both work)."""
+    nw = (nbits + 31) >> 5
+    return (nw + (WALIGN - 1)) & -WALIGN
+
+
 def wcompact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
                        cap_w: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Device-side finalize at WORD granularity: segments -> one compact
@@ -186,14 +201,32 @@ def wcompact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
             out = jnp.pad(out, (0, cap_w - k))
         return jax.lax.bitcast_convert_type(out, jnp.uint32), nbits
 
-    # multi-segment (restart intervals): word gather through the segment map
-    nw = (nbits + 31) >> 5                            # words per segment
-    wbase = jnp.cumsum(nw) - nw                       # exclusive
-    p = jnp.arange(cap_w, dtype=_I32)
-    s = jnp.clip(jnp.searchsorted(wbase, p, side="right") - 1, 0, n_seg - 1)
-    q = p - wbase[s]
-    word = words_i.reshape(-1)[s * w + jnp.clip(q, 0, w - 1)]
-    out = jnp.where(q < nw[s], bswap(word), 0)
+    # multi-segment (restart intervals): segment starts are WALIGN-aligned
+    # in the compact stream (seg_nwords_aligned — the host finalize uses
+    # the same offsets), so the compaction is a CHUNK row gather: cap_w/8
+    # data-dependent row indices instead of cap_w word indices. Measured
+    # 4.5 ms/frame -> ~0.2 on this chip at 1080p DRI=120 (the per-index
+    # ~10 ns rule, docs/PERFORMANCE.md).
+    nw = (nbits + 31) >> 5                            # content words
+    nwa = seg_nwords_aligned(nbits)
+    wbase = jnp.cumsum(nwa) - nwa                     # aligned starts
+    cap_c = -(-cap_w // WALIGN)
+
+    # chunk -> segment map: mark starts, prefix-count (duplicate starts from
+    # empty segments resolve to the LAST one — it owns the chunk)
+    marks = jnp.zeros((cap_c,), _I32).at[wbase >> 3].add(1, mode="drop")
+    s = jnp.clip(jnp.cumsum(marks) - 1, 0, n_seg - 1)  # [cap_c]
+
+    # source rows: segment words padded to whole chunks, viewed [rows, 8]
+    w8 = -(-w // WALIGN)
+    rows = jnp.pad(words_i, ((0, 0), (0, w8 * WALIGN - w))) \
+        .reshape(n_seg * w8, WALIGN)
+    q8 = jnp.arange(cap_c, dtype=_I32) - (wbase[s] >> 3)
+    chunk = rows[s * w8 + jnp.clip(q8, 0, w8 - 1)]     # [cap_c, 8] row gather
+
+    off = q8[:, None] * WALIGN + jnp.arange(WALIGN, dtype=_I32)[None, :]
+    out = jnp.where(off < nw[s][:, None], bswap(chunk), 0)
+    out = out.reshape(-1)[:cap_w]
     return jax.lax.bitcast_convert_type(out, jnp.uint32), nbits
 
 

@@ -39,7 +39,8 @@ from jpgenc_tpu.container.jfif import build_headers
 from jpgenc_tpu.engine import (DevicePlan, finalize_host_w, get_plan,
                                luts_from_tables, qtables_for_quality,
                                scan_caps, scan_to_segments_blocked)
-from jpgenc_tpu.ops.pack import w_blk_for_quality, wcompact_unstuffed
+from jpgenc_tpu.ops.pack import (seg_nwords_aligned,
+                                w_blk_for_quality, wcompact_unstuffed)
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import symbol_histogram
@@ -136,7 +137,7 @@ def _fetch_scan_rows(u, nbits, ovf, cap_u: int, guess_key: tuple
         start = sl.start or 0
         up, nb, ov = jax.device_get(
             (prefix_slice(su.data, guess - 1), sn.data, so.data))
-        t = int(((nb + 31) >> 5).sum(axis=-1).max()) if nb.size else 0
+        t = int(seg_nwords_aligned(nb).sum(axis=-1).max()) if nb.size else 0
         t = min(t, cap_u // 4)
         if t > up.shape[-1]:
             up = fetch_prefix(su.data, t)
@@ -368,7 +369,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
         hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
-        if bool(ov) or int(((nb + 31) >> 5).sum()) > caps[0] // 4:
+        if bool(ov) or int(seg_nwords_aligned(nb).sum()) > caps[0] // 4:
             # rare (noise-like content overflowing the tight tier): re-run
             # only the device finalize for this image at the never-overflowing
             # worst tier, on this process's own devices — the batch stays on
@@ -487,7 +488,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
         us, nb, ov = rows[s]
         g0 = s * segs_per_stripe
         n_rst_s = segs_per_stripe if s < n_stripes - 1 else segs_per_stripe - 1
-        if bool(ov) or int(((nb + 31) >> 5).sum()) > caps[0] // 4:
+        if bool(ov) or int(seg_nwords_aligned(nb).sum()) > caps[0] // 4:
             # rare: redo only this stripe's device finalize at the
             # never-overflowing worst tier on this process's devices
             cap_u3 = scan_caps(stripe_layout, quality, "worst")[0]

@@ -94,7 +94,8 @@ def test_wcompact_matches_byte_compact(gray_image, rgb_image, mode, restart):
     want = finalize_host(np.asarray(u8), np.asarray(nbytes), 0, n_rst)
     uw, nbits = wcompact_unstuffed(seg_w, seg_b, cap_u // 4)
     uw, nbits = np.asarray(uw), np.asarray(nbits)
-    assert int(((nbits + 31) >> 5).sum()) <= cap_u // 4
+    from jpgenc_tpu.ops.pack import seg_nwords_aligned
+    assert int(seg_nwords_aligned(nbits).sum()) <= cap_u // 4
     got = finalize_host_w(uw, nbits, 0, n_rst)
     assert got == want
 
