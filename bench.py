@@ -297,35 +297,37 @@ def main() -> None:
         from jpgenc_tpu.api import decode_batch
         nb_dec = 8
         files = [outs[i % B_UP] for i in range(nb_dec)]
+        # PRIMARY: device-resident decode (to_device=True) — pixels stay in
+        # HBM for a training input pipeline, the production decode shape
+        # (an RGB download costs 6.2 MB/frame on this tunnel and measures
+        # the link, not the decoder). block_until_ready returns early on
+        # this platform, so force completion by fetching one pixel.
+        def dec_dev():
+            out = decode_batch(files, to_device=True)
+            np.asarray(out[-1, -1, -1])
+        dec_dev()                                           # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            dec_dev()
+        dsec_dev = (time.perf_counter() - t0) / 3
+        row = {"mpix_per_s": round(nb_dec * H * W / 1e6 / dsec_dev, 2),
+               "batch": nb_dec, "note": "to_device (pixels stay in HBM)"}
+        # secondary: with the RGB host download
         decode_batch(files)                                 # compile + warm
         t0 = time.perf_counter()
         for _ in range(2):
             decode_batch(files)
         dsec = (time.perf_counter() - t0) / 2
-        row = {"mpix_per_s": round(nb_dec * H * W / 1e6 / dsec, 2),
-               "batch": nb_dec}
+        row["download_mpix_per_s"] = round(nb_dec * H * W / 1e6 / dsec, 2)
         decode_one(outs[0])                                 # compile + warm
         t0 = time.perf_counter()
         for i in range(2):
             decode_one(outs[i])
         row["single_mpix_per_s"] = round(H * W / 1e6
                                          / ((time.perf_counter() - t0) / 2), 2)
-        # device-resident decode (to_device=True): pixels stay in HBM for a
-        # training input pipeline — no RGB download, the production shape.
-        # block_until_ready returns early on this platform, so force
-        # completion by fetching one pixel.
-        def dec_dev():
-            out = decode_batch(files, to_device=True)
-            np.asarray(out[-1, -1, -1])
-        dec_dev()                                           # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(2):
-            dec_dev()
-        dsec_dev = (time.perf_counter() - t0) / 2
-        row["to_device_mpix_per_s"] = round(nb_dec * H * W / 1e6 / dsec_dev, 2)
-        _log(f"decode 1080p: batch {row['mpix_per_s']} MPix/s; "
-             f"single {row['single_mpix_per_s']}; "
-             f"to_device {row['to_device_mpix_per_s']}")
+        _log(f"decode 1080p: to_device {row['mpix_per_s']} MPix/s; "
+             f"+download {row['download_mpix_per_s']}; "
+             f"single {row['single_mpix_per_s']}")
         return row
 
 
