@@ -68,28 +68,29 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
     """Timed device-pipeline encode -> (sec/batch, files)."""
     import jax
 
-    from jpgenc_tpu.engine import fetch_prefix, finalize_host_w, prefix_slice
+    from jpgenc_tpu.engine import (combined_fetch, fetch_prefix,
+                                   finalize_host_w, split_fetch)
     from jpgenc_tpu.ops.pack import seg_nwords_aligned
 
     n_rst = layout.n_segments - 1
+    n_seg = layout.n_segments
 
     cap_w = fns["caps"][0] // 4
     guess = [1024]   # adaptive prefix-length guess (u32 words), per stream
 
     def launch():
-        # enqueue the prefix slice IMMEDIATELY behind its own encode: if it
-        # were enqueued at collect time it would sit in the device queue
-        # behind the NEXT batch's encode, serializing the pipeline
+        # enqueue the combined (prefix + metadata) fetch buffer IMMEDIATELY
+        # behind its own encode: if it were enqueued at collect time it
+        # would sit in the device queue behind the NEXT batch's encode,
+        # serializing the pipeline. ONE array -> collect pays one sync.
         u, nbits, ovf = fns["encode_bytes"](
             frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
-        return prefix_slice(u, guess[0] - 1), nbits, ovf, u
+        handle, k = combined_fetch(u, nbits, ovf, guess[0])
+        return handle, k, u
 
     def collect(pend):
-        up_dev, nbits, ovf, u = pend
-        # speculative single round trip: fetch metadata AND a guessed prefix
-        # in one device_get (each separate sync costs a full dispatch on
-        # this link); refetch only if the guess fell short
-        up, nb, ov = jax.device_get((up_dev, nbits, ovf))
+        handle, k, u = pend
+        up, nb, ov = split_fetch(np.asarray(handle), k, n_seg)
         total_w = int(seg_nwords_aligned(nb).sum(axis=1).max())
         assert not ov.any() and total_w <= cap_w, \
             "capacity tier overflow — bench config needs a bigger tier"

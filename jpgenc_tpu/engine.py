@@ -390,12 +390,14 @@ class DevicePlan:
     def _finish_bytes(self, outs, cap_u, first_rst, n_rst):
         u_dev, nbits_dev, ovf_dev = outs
         # speculative single round trip: metadata + a guessed stream prefix
-        # in one device_get (every extra sync costs a full dispatch);
-        # refetch only when the guess fell short. Units are u32 WORDS of
-        # the wcompact stream (ops.pack.wcompact_unstuffed).
-        up, nbits, ovf = jax.device_get(
-            (prefix_slice(u_dev, self._prefix_guess - 1),
-             nbits_dev, ovf_dev))
+        # packed into ONE device array (a partial fetch costs ~50 ms of
+        # latency per array on this platform, not bytes); refetch only when
+        # the guess fell short. Units are u32 WORDS of the wcompact stream
+        # (ops.pack.wcompact_unstuffed).
+        handle, k = combined_fetch(u_dev, nbits_dev, ovf_dev,
+                                   self._prefix_guess)
+        up, nbits, ovf = split_fetch(np.asarray(handle), k,
+                                     nbits_dev.shape[-1])
         from jpgenc_tpu.ops.pack import seg_nwords_aligned
         total_w = int(seg_nwords_aligned(nbits.astype(np.int64)).sum())
         if bool(ovf) or total_w > cap_u // 4:
@@ -492,6 +494,42 @@ def fetch_prefix(u_dev, total: int) -> np.ndarray:
     (last axis). The capacity buffer is mostly empty at typical bitrates,
     and the device->host link is the scarce resource."""
     return np.asarray(prefix_slice(u_dev, total))
+
+
+def _prefix_k(u_dev, total: int) -> int:
+    cap = u_dev.shape[-1]
+    if total >= cap:
+        return cap
+    return min(cap, max(1 << max(0, (total - 1).bit_length()), 4096))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _combined_fetch_jit(u, nbits, ovf, k: int):
+    pre = jax.lax.bitcast_convert_type(u[..., :k], jnp.int32)
+    if ovf.ndim < nbits.ndim:
+        ovf = ovf[..., None]
+    return jnp.concatenate([pre, nbits.astype(jnp.int32),
+                            ovf.astype(jnp.int32)], axis=-1)
+
+
+def combined_fetch(u_dev, nbits_dev, ovf_dev, guess: int):
+    """Enqueue ONE device array carrying (u32-word prefix of length >= guess,
+    per-segment bit counts, overflow flag) along the last axis.
+
+    A partial-prefix fetch costs ~50 ms FLAT on this platform (slice
+    dispatch + transfer sync — latency, not bytes), and `jax.device_get` of
+    a 3-tuple pays that per array; packing the metadata into the prefix
+    buffer makes collect() a single sync. Returns (handle, k) — unpack the
+    fetched np array with `split_fetch(arr, k, n_seg)`."""
+    k = _prefix_k(u_dev, max(guess, 1))
+    return _combined_fetch_jit(u_dev, nbits_dev, ovf_dev, k), k
+
+
+def split_fetch(arr: np.ndarray, k: int, n_seg: int):
+    """Host unpack of a combined_fetch download -> (u_words_i32 [..., k],
+    nbits [..., n_seg], ovf bool[...])."""
+    return (arr[..., :k], arr[..., k:k + n_seg],
+            arr[..., k + n_seg] != 0)
 
 
 def finalize_host(u: np.ndarray, nbytes: np.ndarray, first_rst: int,

@@ -128,15 +128,15 @@ def _fetch_scan_rows(u, nbits, ovf, cap_u: int, guess_key: tuple
     sync costs a full dispatch; the capacity buffer is mostly empty at
     typical bitrates, so only real bytes should cross the link). Refetches
     only when the guess fell short. Multi-host safe (addressable shards)."""
-    from jpgenc_tpu.engine import fetch_prefix, prefix_slice
+    from jpgenc_tpu.engine import combined_fetch, fetch_prefix, split_fetch
     rows: dict[int, tuple] = {}
     guess = _PREFIX_GUESS.get(guess_key, 1024)       # u32 words
     for su, sn, so in zip(u.addressable_shards, nbits.addressable_shards,
                           ovf.addressable_shards):
         sl = su.index[0] if su.index else slice(None)
         start = sl.start or 0
-        up, nb, ov = jax.device_get(
-            (prefix_slice(su.data, guess - 1), sn.data, so.data))
+        handle, k = combined_fetch(su.data, sn.data, so.data, guess)
+        up, nb, ov = split_fetch(np.asarray(handle), k, sn.data.shape[-1])
         t = int(seg_nwords_aligned(nb).sum(axis=-1).max()) if nb.size else 0
         t = min(t, cap_u // 4)
         if t > up.shape[-1]:
