@@ -1,0 +1,116 @@
+"""Full-FILE byte parity with libjpeg-turbo (SURVEY.md §8 hard part 3's
+stretch goal, beyond the byte-exact-headers contract): the integer islow
+pipeline (ref/islow.py) reproduces Pillow's encoder output byte-for-byte —
+headers AND entropy scan — at matched settings.
+
+Oracle chain: Pillow (libjpeg-turbo 12.x) encodes; we re-encode the same
+pixels through rgb_ycc fixed-point -> libjpeg edge expansion -> biased box
+means -> jpeg_fdct_islow -> magnitude-rounded quantization -> jccoefct
+dummy blocks -> our canonical Huffman writer, and compare whole files.
+"""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from jpgenc_tpu.container.jfif import build_headers
+from jpgenc_tpu.layout import make_layout
+from jpgenc_tpu.ref.encoder import entropy_scan, standard_tables
+from jpgenc_tpu.ref.islow import image_to_zigzag_islow
+from jpgenc_tpu.tables import QTABLE_CHROMA, QTABLE_LUMA, scale_qtable
+from jpgenc_tpu.utils.fixtures import synth_frame
+
+_PIL_SUBS = {"444": 0, "422": 1, "420": 2}
+
+
+def _ours(img, quality, mode, restart=0):
+    layout = make_layout(img.shape[0], img.shape[1], mode, restart)
+    if mode == "gray":
+        qts = [scale_qtable(QTABLE_LUMA, quality)]
+    else:
+        qts = [scale_qtable(QTABLE_LUMA, quality),
+               scale_qtable(QTABLE_CHROMA, quality)]
+    zz = image_to_zigzag_islow(img, layout, qts)
+    dc_t, ac_t = standard_tables()
+    if mode == "gray":
+        dc_t, ac_t = dc_t[:1], ac_t[:1]
+    hdr = build_headers(layout, qts, dc_t, ac_t)
+    return hdr + entropy_scan(layout, zz, dc_t, ac_t) + b"\xff\xd9"
+
+
+def _pillow(img, quality, mode, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=quality,
+                              **({} if mode == "gray"
+                                 else {"subsampling": _PIL_SUBS[mode]}),
+                              **kw)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("mode", ["gray", "444", "422", "420"])
+@pytest.mark.parametrize("q", [50, 75, 90])
+def test_whole_file_byte_parity(mode, q):
+    img = synth_frame(120, 136)
+    if mode == "gray":
+        img = img[:, :, 0]
+    assert _ours(img, q, mode) == _pillow(img, q, mode)
+
+
+@pytest.mark.parametrize("hw", [(16, 16), (17, 23), (60, 60), (121, 130),
+                                (47, 111), (128, 144)])
+def test_byte_parity_sizes_420(hw):
+    """Every padding/dummy-block geometry: exact multiples, odd dims,
+    partial blocks, dummy rows+columns."""
+    img = synth_frame(*hw)
+    assert _ours(img, 75, "420") == _pillow(img, 75, "420")
+
+
+def test_byte_parity_sizes_422_gray():
+    for hw in [(17, 23), (60, 62), (121, 130)]:
+        img = synth_frame(*hw)
+        assert _ours(img, 80, "422") == _pillow(img, 80, "422")
+        assert _ours(img[:, :, 0], 85, "gray") == \
+            _pillow(img[:, :, 0], 85, "gray")
+
+
+def test_byte_parity_noise():
+    """Noise content exercises every SSSS bucket and run pattern."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    assert _ours(img, 75, "420") == _pillow(img, 75, "420")
+    assert _ours(img, 95, "444") == _pillow(img, 95, "444")
+
+
+def test_byte_parity_restart_markers():
+    """Pillow restart_marker_rows=1 -> DRI = MCUs/row; RSTn cadence,
+    numbering and segment 1-padding must all line up for byte equality."""
+    img = synth_frame(64, 80)
+    pil = _pillow(img, 75, "420", restart_marker_rows=1)
+    layout = make_layout(64, 80, "420", 5)       # 80/16 = 5 MCUs per row
+    qts = [scale_qtable(QTABLE_LUMA, 75), scale_qtable(QTABLE_CHROMA, 75)]
+    zz = image_to_zigzag_islow(img, layout, qts)
+    dc_t, ac_t = standard_tables()
+    ours = build_headers(layout, qts, dc_t, ac_t) + \
+        entropy_scan(layout, zz, dc_t, ac_t) + b"\xff\xd9"
+    assert ours == pil
+
+
+def test_byte_parity_optimized_huffman():
+    """optimize=True: our T.81 K.2 table builder (adjust-BITS, all-ones
+    reservation, libjpeg tie-breaking) emits the SAME custom tables as
+    libjpeg's jpeg_gen_optimal_table — whole file byte-identical."""
+    from jpgenc_tpu.huffman import build_codes, optimize_tables
+    from jpgenc_tpu.ref.encoder import symbol_histogram
+
+    img = synth_frame(64, 80)
+    pil = _pillow(img, 75, "420", optimize=True)
+    layout = make_layout(64, 80, "420", 0)
+    qts = [scale_qtable(QTABLE_LUMA, 75), scale_qtable(QTABLE_CHROMA, 75)]
+    zz = image_to_zigzag_islow(img, layout, qts)
+    freq = symbol_histogram(layout, zz)
+    dc_o = [build_codes(*optimize_tables(freq[0, t])) for t in range(2)]
+    ac_o = [build_codes(*optimize_tables(freq[1, t])) for t in range(2)]
+    ours = build_headers(layout, qts, dc_o, ac_o) + \
+        entropy_scan(layout, zz, dc_o, ac_o) + b"\xff\xd9"
+    assert ours == pil

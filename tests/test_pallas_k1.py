@@ -17,9 +17,16 @@ from jpgenc_tpu.ops.pallas.k1_dct import fused_pixels_to_scan
 @pytest.mark.parametrize("mode", ["gray", "444", "422", "420"])
 @pytest.mark.parametrize("quality", [50, 75, 92])
 def test_k1_matches_jnp(mode, quality, rng):
+    # per-test deterministic data: the fused chroma operator (subsample
+    # folded into the DCT matmul) differs from the jnp path (box-mean then
+    # DCT) by float ULPs, so knife-edge coefficients can flip on unlucky
+    # noise — the session rng's state is xdist-scheduling-dependent, which
+    # made this flaky. The calibrated-divergence policy lives in the
+    # on-hardware lane (test_hw_tpu.py); this CI matrix pins its data.
+    local = np.random.default_rng(1234 + quality + len(mode))
     h, w = (96, 64) if mode == "420" else (64, 64)
-    img = (rng.integers(0, 255, (h, w), dtype=np.uint8) if mode == "gray"
-           else rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    img = (local.integers(0, 255, (h, w), dtype=np.uint8) if mode == "gray"
+           else local.integers(0, 255, (h, w, 3), dtype=np.uint8))
     layout = make_layout(h, w, mode, 0)
     _, qt = qtables_for_quality(quality)
     ref = np.asarray(pixels_to_scan(img, layout, qt))
@@ -34,7 +41,8 @@ def test_k1_matches_jnp(mode, quality, rng):
 
 def test_k1_unpadded_dims(rng):
     """Non-MCU-aligned image: replicate padding flows through identically."""
-    img = rng.integers(0, 255, (50, 42, 3), dtype=np.uint8)
+    img = np.random.default_rng(77).integers(0, 255, (50, 42, 3),
+                                             dtype=np.uint8)
     layout = make_layout(50, 42, "420", 2)
     _, qt = qtables_for_quality(75)
     ref = np.asarray(pixels_to_scan(img, layout, qt))
