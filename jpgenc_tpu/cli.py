@@ -42,7 +42,8 @@ def cmd_encode(args: argparse.Namespace) -> int:
                               optimize=args.optimize)
     else:
         data = encode(img, quality=args.quality, subsampling=args.subsampling,
-                      restart_interval=args.restart, optimize=args.optimize)
+                      restart_interval=args.restart, optimize=args.optimize,
+                      dct_method=args.dct_method)
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(data)
@@ -151,6 +152,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="restart interval in MCUs (0 = off)")
     e.add_argument("--optimize", action="store_true",
                    help="two-pass optimized Huffman tables")
+    e.add_argument("--dct-method", choices=["float", "islow"],
+                   default="float", dest="dct_method",
+                   help="islow = libjpeg-exact integer pipeline "
+                        "(byte-identical files to libjpeg-turbo)")
     e.add_argument("--stripes", type=int, default=1,
                    help="shard MCU-row stripes over the device mesh")
     e.set_defaults(fn=cmd_encode)

@@ -20,6 +20,11 @@ class EncodeConfig:
     restart_interval: int = 0
     # two-pass encode with custom Huffman tables built from the symbol histogram.
     optimize_huffman: bool = False
+    # 'float': MXU-shaped float DCT (the throughput path, default);
+    # 'islow': libjpeg-exact integer pipeline — output files are
+    # byte-identical to libjpeg-turbo's at matched settings (the
+    # conformance mode; VPU integer math, no MXU).
+    dct_method: str = "float"
 
     def __post_init__(self):
         if not 1 <= self.quality <= 100:
@@ -28,6 +33,8 @@ class EncodeConfig:
             raise ValueError(f"subsampling must be one of {VALID_SUBSAMPLING}")
         if self.restart_interval < 0 or self.restart_interval > 0xFFFF:
             raise ValueError("restart_interval must be in [0, 65535]")
+        if self.dct_method not in ("float", "islow"):
+            raise ValueError("dct_method must be 'float' or 'islow'")
 
 
 @dataclass(frozen=True)

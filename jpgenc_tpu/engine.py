@@ -317,6 +317,19 @@ class DevicePlan:
             return zz, symbol_histogram(zz.astype(jnp.int32), plan)
 
         @jax.jit
+        def _zz_islow(img, qtabs, scan_flat):
+            # libjpeg-exact integer pipeline (ops/islow.py), scan-ordered —
+            # feeds the same fused entropy kernels as the float path
+            from jpgenc_tpu.ops.islow import image_to_zigzag_islow
+            return image_to_zigzag_islow(img, lay, qtabs)[scan_flat]
+
+        @jax.jit
+        def _zz_islow_hist(img, qtabs, scan_flat, plan):
+            from jpgenc_tpu.ops.islow import image_to_zigzag_islow
+            zz = image_to_zigzag_islow(img, lay, qtabs)[scan_flat]
+            return zz, symbol_histogram(zz, plan)
+
+        @jax.jit
         def _entropy_zz(zz, plan, luts):
             return scan_to_segments(zz.astype(jnp.int32), plan, luts,
                                     n_seg, words)
@@ -328,6 +341,8 @@ class DevicePlan:
         self._zz = _zz
         self._hist_zz = _hist_zz
         self._zz_hist = _zz_hist
+        self._zz_islow = _zz_islow
+        self._zz_islow_hist = _zz_islow_hist
         self._entropy_zz = _entropy_zz
         self._bytes_fns: dict[tuple, dict] = {}
         self._prefix_guess = 1024   # adaptive speculative-fetch length (u32 words)
@@ -462,6 +477,14 @@ class DevicePlan:
         """Optimize-mode pass 1: (scan-ordered zigzag blocks, symbol
         histogram) in a single device dispatch."""
         return self._zz_hist(img, qtabs, self.plan)
+
+    def zz_scan_islow(self, img, qtabs):
+        """libjpeg-exact integer pixels->scan-ordered zigzag (conformance
+        mode — output files byte-identical to libjpeg-turbo's)."""
+        return self._zz_islow(img, qtabs, self.scan_flat)
+
+    def zz_islow_and_histogram(self, img, qtabs):
+        return self._zz_islow_hist(img, qtabs, self.scan_flat, self.plan)
 
 
 _PLANS: dict[tuple, DevicePlan] = {}

@@ -114,3 +114,26 @@ def test_byte_parity_optimized_huffman():
     ours = build_headers(layout, qts, dc_o, ac_o) + \
         entropy_scan(layout, zz, dc_o, ac_o) + b"\xff\xd9"
     assert ours == pil
+
+
+def test_api_islow_byte_parity():
+    """The PRODUCTION path (api.encode(dct_method='islow') — device jnp
+    pipeline + fused entropy kernels + device finalize) emits files
+    byte-identical to Pillow/libjpeg-turbo, including two-pass optimize."""
+    from jpgenc_tpu import api
+
+    img = synth_frame(120, 136)
+    for mode in ("444", "422", "420"):
+        assert api.encode(img, quality=75, subsampling=mode,
+                          dct_method="islow") == _pillow(img, 75, mode)
+    gray = img[:, :, 0]
+    assert api.encode(gray, quality=90, dct_method="islow") == \
+        _pillow(gray, 90, "gray")
+    # two-pass optimized Huffman through the device histogram
+    assert api.encode(img, quality=75, subsampling="420", optimize=True,
+                      dct_method="islow") == \
+        _pillow(img, 75, "420", optimize=True)
+    # restart markers (DRI = MCUs per row at 420: 136 -> 9)
+    assert api.encode(img, quality=75, subsampling="420",
+                      restart_interval=9, dct_method="islow") == \
+        _pillow(img, 75, "420", restart_marker_rows=1)
