@@ -215,6 +215,12 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
     def _zz1(img, qtabs):
         return pixels_to_scan_auto(img, lay, qtabs, use_pallas)
 
+    def _zz1_islow(img, qtabs):
+        # libjpeg-exact integer pipeline (conformance mode); scan_flat is a
+        # layout-static constant, so the gather folds into the jit
+        from jpgenc_tpu.ops.islow import image_to_zigzag_islow
+        return image_to_zigzag_islow(img, lay, qtabs)[plan.scan_flat]
+
     def _hist1(zz, splan):
         return symbol_histogram(zz.astype(jnp.int32), splan)
 
@@ -247,6 +253,23 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
             (lambda zz: (zz, jax.vmap(_hist1, in_axes=(0, None))(
                 zz, splan).sum(axis=0)))(
                 jax.vmap(_zz1, in_axes=(0, None))(imgs, qtabs)),
+            in_shardings=(sh_img, rep, rep),
+            out_shardings=(sh_blk, rep)),
+        # libjpeg-exact integer mode (dct_method='islow')
+        "zz_islow": jax.jit(
+            jax.vmap(_zz1_islow, in_axes=(0, None)),
+            in_shardings=(sh_img, rep)),
+        "zz_hist_islow": jax.jit(
+            jax.vmap(lambda img, qtabs, splan:
+                     (lambda zz: (zz, _hist1(zz, splan)))(
+                         _zz1_islow(img, qtabs)),
+                     in_axes=(0, None, None)),
+            in_shardings=(sh_img, rep, rep)),
+        "zz_hist_islow_sum": jax.jit(
+            lambda imgs, qtabs, splan:
+            (lambda zz: (zz, jax.vmap(_hist1, in_axes=(0, None))(
+                zz, splan).sum(axis=0)))(
+                jax.vmap(_zz1_islow, in_axes=(0, None))(imgs, qtabs)),
             in_shardings=(sh_img, rep, rep),
             out_shardings=(sh_blk, rep)),
         # per-image custom LUTs (optimize mode): luts batched over axis 0
@@ -318,16 +341,18 @@ def stage_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
 
 def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
                  restart_interval: int = 0, optimize: bool = False,
-                 mesh: Mesh | None = None, staged=None) -> list[bytes]:
+                 mesh: Mesh | None = None, staged=None,
+                 dct_method: str = "float") -> list[bytes]:
     """Encode a [B, H, W(, 3)] uint8 batch, sharded over the mesh batch axis.
 
     Returns one JFIF bytestring per image, identical to per-image `api.encode`.
     `staged` accepts the result of stage_batch(imgs, ...) to reuse an upload
-    already in flight.
+    already in flight. dct_method='islow' selects the libjpeg-exact integer
+    pipeline (files byte-identical to libjpeg-turbo per image).
     """
     cfg = EncodeConfig(quality=quality, subsampling=subsampling,
                        restart_interval=restart_interval,
-                       optimize_huffman=optimize)
+                       optimize_huffman=optimize, dct_method=dct_method)
     imgs, b, pad, layout, plan, caps, fns = _batch_setup(imgs, cfg, mesh)
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
     if staged is not None:
@@ -336,8 +361,10 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
         imgs_dev = put_batch(imgs, fns["sharding_img"])
 
     n_tabs = 1 if layout.is_gray else 2
+    islow = cfg.dct_method == "islow"
     if cfg.optimize_huffman:
-        zz, hist = fns["zz_hist"](imgs_dev, qt_dev, plan.plan)
+        zz, hist = (fns["zz_hist_islow"] if islow
+                    else fns["zz_hist"])(imgs_dev, qt_dev, plan.plan)
         # per-image histograms live sharded across hosts: each host builds
         # tables for its own rows, then the table blobs are exchanged so
         # every process traces the same replicated luts_b (SPMD requirement)
@@ -352,9 +379,13 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        zz = None
-        u, nbytes, ovf = fns["encode_bytes"](
-            imgs_dev, qt_dev, plan.plan, plan.scan_flat, luts)
+        if islow:
+            zz = fns["zz_islow"](imgs_dev, qt_dev)
+            u, nbytes, ovf = fns["entropy_bytes_shared"](zz, plan.plan, luts)
+        else:
+            zz = None
+            u, nbytes, ovf = fns["encode_bytes"](
+                imgs_dev, qt_dev, plan.plan, plan.scan_flat, luts)
 
     # per-process assembly over addressable shards only (multi-host safe),
     # then host-side exchange so every process returns the full result list
@@ -375,10 +406,11 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
             # worst tier, on this process's own devices — the batch stays on
             # the device pipeline (no host word path)
             cap_u3 = scan_caps(layout, cfg.quality, "worst")[0]
-            if cfg.optimize_huffman:
+            if zz is not None:           # optimize and/or islow: zz cached
                 if zz_rows is None:
                     zz_rows = _local_rows(zz)
-                luts_i = luts_from_tables(dc_tables, ac_tables)
+                luts_i = (luts_from_tables(dc_tables, ac_tables)
+                          if cfg.optimize_huffman else luts)
                 scan, ok = plan.entropy_scan_bytes_zz(zz_rows[i][0], luts_i,
                                                       cap_u3, 56)
             else:
@@ -408,7 +440,8 @@ def _stripe_geometry(layout_h: int, mcu_h: int, n_stripes: int) -> int:
 
 def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
                    subsampling: str = "420", restart_interval: int = 0,
-                   optimize: bool = False, mesh: Mesh | None = None) -> bytes:
+                   optimize: bool = False, mesh: Mesh | None = None,
+                   dct_method: str = "float") -> bytes:
     """Encode ONE image with its MCU-row stripes sharded over the mesh.
 
     The emitted file carries restart markers at (at least) stripe boundaries:
@@ -416,6 +449,13 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     DRI = MCUs per stripe; otherwise `restart_interval` must divide the MCU
     count of a stripe so stripe boundaries land on segment boundaries
     (SURVEY.md hard part 5).
+
+    dct_method='islow' uses the libjpeg-exact integer pipeline per stripe;
+    the striped file is byte-identical to libjpeg-turbo's (image + same DRI)
+    when the image dims are MCU multiples. For non-aligned dims the stripes
+    share one padded layout, so the edge MCUs use our replicate-pad
+    convention instead of libjpeg's dummy-block rule (still spec-valid and
+    deterministic — use api.encode for exact parity on such dims).
     """
     img = np.ascontiguousarray(img)
     if isinstance(mesh, MeshConfig):
@@ -461,10 +501,16 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     n_tabs = 1 if stripe_layout.is_gray else 2
     segs_per_stripe = stripe_layout.n_segments
 
+    islow = dct_method == "islow"
+    if islow:
+        EncodeConfig(quality=quality, subsampling=subsampling,
+                     dct_method=dct_method)   # validate
     if optimize:
         # K1 + global histogram in one dispatch (psum over the stripe axis —
         # ICI collective on TPU)
-        zz, freq_dev = fns["zz_hist_sum"](stripes_dev, qt_dev, plan.plan)
+        zz, freq_dev = (fns["zz_hist_islow_sum"] if islow
+                        else fns["zz_hist_sum"])(stripes_dev, qt_dev,
+                                                 plan.plan)
         freq = np.asarray(freq_dev)
         dc_tables, ac_tables = _build_tables_from_freq(freq, n_tabs)
         luts = luts_from_tables(dc_tables, ac_tables)
@@ -472,9 +518,13 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     else:
         dc_tables, ac_tables = standard_tables()
         luts = luts_from_tables(dc_tables, ac_tables)
-        zz = None
-        u, nbytes, ovf = fns["encode_bytes"](
-            stripes_dev, qt_dev, plan.plan, plan.scan_flat, luts)
+        if islow:
+            zz = fns["zz_islow"](stripes_dev, qt_dev)
+            u, nbytes, ovf = fns["entropy_bytes_shared"](zz, plan.plan, luts)
+        else:
+            zz = None
+            u, nbytes, ovf = fns["encode_bytes"](
+                stripes_dev, qt_dev, plan.plan, plan.scan_flat, luts)
 
     # per-process assembly: each host finalizes its own stripes' bytes with
     # GLOBAL RSTn numbering (addressable shards only — multi-host safe), then
@@ -492,7 +542,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
             # rare: redo only this stripe's device finalize at the
             # never-overflowing worst tier on this process's devices
             cap_u3 = scan_caps(stripe_layout, quality, "worst")[0]
-            if optimize:
+            if zz is not None:           # optimize and/or islow: zz cached
                 if zz_rows is None:
                     zz_rows = _local_rows(zz)
                 part, ok = plan.entropy_scan_bytes_zz(

@@ -137,3 +137,34 @@ def test_api_islow_byte_parity():
     assert api.encode(img, quality=75, subsampling="420",
                       restart_interval=9, dct_method="islow") == \
         _pillow(img, 75, "420", restart_marker_rows=1)
+
+
+def test_batch_islow_byte_parity():
+    """mesh.encode_batch(dct_method='islow') on the 8-device CPU mesh:
+    every image byte-identical to Pillow (incl. per-image optimize)."""
+    from jpgenc_tpu.parallel.mesh import encode_batch
+
+    imgs = np.stack([synth_frame(47, 111, seed=7 + i) for i in range(8)])
+    outs = encode_batch(imgs, quality=75, subsampling="420",
+                        dct_method="islow")
+    for i in range(8):
+        assert outs[i] == _pillow(imgs[i], 75, "420")
+    outs = encode_batch(imgs[:4], quality=80, subsampling="420",
+                        optimize=True, dct_method="islow")
+    for i in range(4):
+        assert outs[i] == _pillow(imgs[i], 80, "420", optimize=True)
+
+
+def test_striped_islow_byte_parity_aligned():
+    """encode_striped(dct_method='islow') with MCU-aligned dims is
+    byte-identical to libjpeg at the same DRI (stripe boundaries are
+    restart boundaries; the stripes' DC resets mirror libjpeg's)."""
+    from jpgenc_tpu.parallel.mesh import encode_striped
+
+    img = synth_frame(128, 80)          # 8 MCU rows of 16 -> 4 stripes
+    data = encode_striped(img, n_stripes=4, quality=75, subsampling="420",
+                          restart_interval=5, dct_method="islow")
+    # Pillow: restart_marker_rows=2 -> DRI = 2 MCU rows... use rows=... no:
+    # DRI must equal 5 MCUs (one MCU row = 5). restart_marker_rows=1 -> 5.
+    # Our stripe interval 5 = one MCU row -> segments align.
+    assert data == _pillow(img, 75, "420", restart_marker_rows=1)
