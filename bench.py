@@ -353,7 +353,27 @@ def main() -> None:
     # pool (~1.3 GB/process) degrades PERMANENTLY once exhausted, so the
     # perf-sensitive small-upload configs run before the upload-heavy
     # e2e/batch rows (which are tunnel-bound either way).
+    # ---- conformance mode: libjpeg-exact integer pipeline ----------------
+    def c_islow():
+        fns_i = dict(fns)
+
+        def _enc_islow(frames_d, qt, splan, scan_flat, luts):
+            zz = fns["zz_islow"](frames_d, qt)
+            return fns["entropy_bytes_shared"](zz, splan, luts)
+
+        fns_i["encode_bytes"] = _enc_islow
+        isec, iouts = _run_pipeline(layout, plan, fns_i, qt_dev, luts,
+                                    frames_dev, hdr, B, n_iter=6)
+        iq = _psnr_bpp(iouts[0], frames[0], 75)
+        row = {"mpix_per_s": round(mpix / isec, 2), **iq,
+               "note": "dct_method=islow — files byte-identical to "
+                       "libjpeg-turbo (pillow_bpp equals bpp exactly)"}
+        _log(f"c8i islow 1080p: {row['mpix_per_s']} MPix/s; "
+             f"bpp {iq['bpp']} (pillow {iq['pillow_bpp']})")
+        return row
+
     _config("qsweep_dri", c9)        # 0 MB (reuses frames_dev)
+    _config("1080p_islow_q75", c_islow)   # 0 MB (reuses frames_dev)
     _config("gray512_q75", c7)       # ~17 MB
     _config("4k_optimized", c10)     # ~75 MB
     _config("decode_1080p", cdec)    # ~150 MB (coefficient uploads)
