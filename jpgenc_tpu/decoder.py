@@ -167,27 +167,58 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
 _RECON: dict[tuple, object] = {}
 
 
-def _sparsify(blocks: np.ndarray, cap: int | None = None) -> np.ndarray:
-    """Dense [n_total, 64] coefficients -> [3, cap] int16 sparse triple rows
+def _rows_from_pairs(idx: np.ndarray, val: np.ndarray, size: int,
+                     cap: int | None = None) -> np.ndarray:
+    """Nonzero coefficient pairs -> [3, cap] int16 sparse triple rows
     (idx_lo, idx_hi, value), idx = flat position. Baseline quantized
     coefficients are ~97% zeros at photographic qualities, so this is the
     form that crosses the host->device link (6.3 MB dense -> ~0.5 MB at
     1080p Q75 — the link is the decode bottleneck on this platform).
-    Padding entries carry an out-of-bounds idx and are dropped by the
-    device-side scatter (mode='drop')."""
-    nz = np.flatnonzero(blocks)
+    Padding entries carry an out-of-bounds idx (`size`) and are dropped by
+    the device-side scatter (mode='drop')."""
+    n = idx.size
     if cap is None:
-        cap = max(4096, 1 << int(np.ceil(np.log2(max(nz.size, 1)))))
+        cap = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
     out = np.empty((3, cap), np.int16)
-    n = nz.size
-    out[0, :n] = (nz & 0xFFFF).astype(np.int16)
-    out[1, :n] = (nz >> 16).astype(np.int16)
-    out[2, :n] = blocks.reshape(-1)[nz].astype(np.int16)
-    sentinel = blocks.size                   # one past the end -> dropped
-    out[0, n:] = np.uint16(sentinel & 0xFFFF).view(np.int16)
-    out[1, n:] = np.uint16(sentinel >> 16).view(np.int16)
+    out[0, :n] = (idx & 0xFFFF).astype(np.int16)
+    out[1, :n] = (idx >> 16).astype(np.int16)
+    out[2, :n] = val.astype(np.int16)
+    out[0, n:] = np.uint16(size & 0xFFFF).view(np.int16)
+    out[1, n:] = np.uint16(size >> 16).view(np.int16)
     out[2, n:] = 0
     return out
+
+
+def _sparsify(blocks: np.ndarray, cap: int | None = None) -> np.ndarray:
+    """Dense [n_total, 64] coefficients -> [3, cap] int16 sparse rows."""
+    nz = np.flatnonzero(blocks)
+    return _rows_from_pairs(nz.astype(np.int64),
+                            blocks.reshape(-1)[nz], blocks.size, cap)
+
+
+def scan_pairs(parsed: ParsedJpeg, layout: FrameLayout
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Entropy-decode the scan directly to nonzero coefficient pairs
+    (flat idx, int16 value) — the native C++ decoder emits this form
+    without ever materializing the dense [n_total, 64] tensor; the Python
+    reference decode + flatnonzero is the fallback."""
+    comp_dc = [c.dc_tab for c in parsed.comps]
+    comp_ac = [c.ac_tab for c in parsed.comps]
+    if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac) \
+            and all(t in parsed.dc_tables for t in comp_dc) \
+            and all(t in parsed.ac_tables for t in comp_ac):
+        def by_id(d):
+            r0, r1 = d.get(0), d.get(1)
+            return [r0 if r0 is not None else r1,
+                    r1 if r1 is not None else r0]
+        out = native.decode_scan_sparse(
+            parsed.scan_data, layout, comp_dc, comp_ac,
+            by_id(parsed.dc_tables), by_id(parsed.ac_tables))
+        if out is not None:
+            return out
+    blocks = decode_scan_to_blocks(parsed, layout)
+    nz = np.flatnonzero(blocks)
+    return nz.astype(np.int64), blocks.reshape(-1)[nz].astype(np.int16)
 
 
 def _densify(sparse, n_total: int):
@@ -304,6 +335,36 @@ def decode_to_coefficients(data: bytes) -> tuple[FrameLayout, np.ndarray, dict]:
     return layout, blocks, parsed.qtables
 
 
+def _recon_from_pairs(layout: FrameLayout, idx, val, qts_list,
+                      to_device: bool):
+    """Nonzero pairs -> pixels: sparse upload + in-dispatch densify when
+    smaller than the dense tensor, dense upload otherwise."""
+    n_total = sum(c.n_blocks for c in layout.comps)
+    qts = [jnp.asarray(np.asarray(q).reshape(64).astype(np.int32))
+           for q in qts_list]
+    n64 = n_total * 64
+    cap = max(4096, 1 << int(np.ceil(np.log2(max(idx.size, 1)))))
+    if 6 * cap < 2 * n64:
+        sp = _rows_from_pairs(idx, val, n64, cap)
+        out = _recon_jit(layout, sparse=True)(jnp.asarray(sp), qts)
+    else:
+        dense = np.zeros(n64, np.int16)
+        dense[idx] = val
+        out = _recon_jit(layout)(jnp.asarray(dense.reshape(n_total, 64)),
+                                 qts)
+    return out if to_device else np.asarray(out)
+
+
+def _qts_of(parsed: ParsedJpeg) -> list:
+    qts = []
+    for ci, c in enumerate(parsed.comps):
+        if c.qtab not in parsed.qtables:
+            raise ValueError(
+                f"component {ci} references undefined quant table {c.qtab}")
+        qts.append(parsed.qtables[c.qtab])
+    return qts
+
+
 def decode(data: bytes, to_device: bool = False):
     """JPEG bytes -> uint8 image ([H,W] grayscale or [H,W,3] RGB).
 
@@ -312,14 +373,9 @@ def decode(data: bytes, to_device: bool = False):
     """
     parsed = parse_jpeg(data)
     layout = layout_from_parsed(parsed)
-    blocks = decode_scan_to_blocks(parsed, layout)
-    qts = []
-    for ci, c in enumerate(parsed.comps):
-        if c.qtab not in parsed.qtables:
-            raise ValueError(
-                f"component {ci} references undefined quant table {c.qtab}")
-        qts.append(parsed.qtables[c.qtab])
-    return reconstruct_pixels(layout, blocks, qts, to_device=to_device)
+    idx, val = scan_pairs(parsed, layout)
+    return _recon_from_pairs(layout, idx, val, _qts_of(parsed),
+                             to_device=to_device)
 
 
 def decode_batch(datas: list[bytes], to_device: bool = False):
@@ -347,8 +403,7 @@ def decode_batch(datas: list[bytes], to_device: bool = False):
 
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
-        blocks = list(ex.map(
-            lambda p: decode_scan_to_blocks(p, layout), parsed))
+        pairs = list(ex.map(lambda p: scan_pairs(p, layout), parsed))
 
     qts_b = []
     for p in parsed:
@@ -364,14 +419,20 @@ def decode_batch(datas: list[bytes], to_device: bool = False):
     qts = [jnp.asarray(np.stack([row[i] for row in qts_b]))
            for i in range(n_comps)]
     # shared power-of-2 cap across the batch -> one [B, 3, cap] upload
-    nnz_max = max(int(np.count_nonzero(b)) for b in blocks)
+    n_total = sum(c.n_blocks for c in layout.comps)
+    n64 = n_total * 64
+    nnz_max = max(i.size for i, _ in pairs)
     cap = max(4096, 1 << int(np.ceil(np.log2(max(nnz_max, 1)))))
-    if 3 * 2 * cap < blocks[0].size * 2:
-        sp = jnp.asarray(np.stack([_sparsify(b, cap) for b in blocks]))
+    if 3 * 2 * cap < n64 * 2:
+        sp = jnp.asarray(np.stack(
+            [_rows_from_pairs(i, v, n64, cap) for i, v in pairs]))
         out = _recon_jit(layout, batch=len(datas), sparse=True)(sp, qts)
     else:
-        blk = jnp.asarray(np.stack(blocks).astype(np.int16))
-        out = _recon_jit(layout, batch=len(datas))(blk, qts)
+        dense = np.zeros((len(pairs), n64), np.int16)
+        for r, (i, v) in enumerate(pairs):
+            dense[r, i] = v
+        out = _recon_jit(layout, batch=len(datas))(
+            jnp.asarray(dense.reshape(-1, n_total, 64)), qts)
     if to_device:
         return out
     arr = np.asarray(out)

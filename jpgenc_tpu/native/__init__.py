@@ -89,6 +89,16 @@ def _load_inner():
     lib.finalize_wcompact.argtypes = [
         u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
     ]
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    lib.decode_scan_sparse.restype = ctypes.c_int64
+    lib.decode_scan_sparse.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int,
+        i32p, i32p, ctypes.c_int64,
+        i32p, i32p,
+        u8p, u8p, u8p, u8p,
+        ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, i32p, i16p,
+    ]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.optimize_tables.restype = ctypes.c_int
     lib.optimize_tables.argtypes = [i64p, i32p, i32p]
@@ -208,3 +218,48 @@ def finalize_scan(seg_words: np.ndarray, seg_bits: np.ndarray,
     n = lib.finalize_scan(seg_words.reshape(-1), seg_bits, n_seg, w,
                           first_rst, out)
     return out[:n].tobytes()
+
+
+def decode_scan_sparse(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
+                       dc_tables, ac_tables
+                       ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Entropy-decode a stuffed scan directly to the SPARSE coefficient form
+    (flat idx int32, value int16) — what the device decode path uploads;
+    skips the dense [n_total, 64] materialization entirely. Returns None if
+    the native library is unavailable; raises ValueError on malformed
+    streams. Every coefficient costs >= 2 scan bits, so the capacity
+    4*len+8 cannot overflow."""
+    lib = _load()
+    if lib is None:
+        return None
+
+    def pack(tabs):
+        bits = np.zeros((2, 16), np.uint8)
+        vals = np.zeros((2, 256), np.uint8)
+        for i, t in enumerate(tabs[:2]):
+            b = np.asarray(t.bits, np.uint8)
+            v = np.asarray(t.vals, np.uint8)
+            bits[i, :b.size] = b
+            vals[i, :v.size] = v
+        if len(tabs) == 1:
+            bits[1], vals[1] = bits[0], vals[0]
+        return bits.reshape(-1), vals.reshape(-1)
+
+    dc_bits, dc_vals = pack(dc_tables)
+    ac_bits, ac_vals = pack(ac_tables)
+    data = np.frombuffer(scan_data, np.uint8)
+    cap = 4 * data.size + 8
+    idx = np.empty(cap, np.int32)
+    val = np.empty(cap, np.int16)
+    n = lib.decode_scan_sparse(
+        data, data.size, len(layout.comps),
+        np.ascontiguousarray(layout.scan_comp, np.int32),
+        np.ascontiguousarray(layout.scan_flat, np.int32),
+        layout.n_scan,
+        np.asarray(comp_dc_tab, np.int32), np.asarray(comp_ac_tab, np.int32),
+        dc_bits, dc_vals, ac_bits, ac_vals,
+        layout.blocks_per_segment, layout.n_segments,
+        cap, idx, val)
+    if n < 0:
+        raise ValueError(f"native scan decode failed (code {n})")
+    return idx[:n], val[:n]

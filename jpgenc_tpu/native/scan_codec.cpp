@@ -405,4 +405,102 @@ int64_t finalize_scan(const uint32_t* words, const int32_t* bits,
     return o;
 }
 
+
+// Sparse variant of decode_scan: instead of densifying into out[n*64], emit
+// (flat coefficient index, value) pairs — the form the TPU decode path
+// uploads (decoder._sparsify without the dense round trip). idx_out/val_out
+// must hold `cap` entries; every coefficient costs >= 2 scan bits, so
+// cap = 4*data_len + 8 can never overflow. Returns the pair count, or a
+// negative decode_scan error code (-9: cap exceeded).
+int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
+                           int n_comps,
+                           const int32_t* scan_comp, const int32_t* scan_flat,
+                           int64_t n_scan,
+                           const int32_t* comp_dc_tab,
+                           const int32_t* comp_ac_tab,
+                           const uint8_t* dc_bits, const uint8_t* dc_vals,
+                           const uint8_t* ac_bits, const uint8_t* ac_vals,
+                           int64_t blocks_per_segment, int n_segments,
+                           int64_t cap, int32_t* idx_out, int16_t* val_out) {
+    HuffDecoder dc[2], ac[2];
+    for (int t = 0; t < 2; ++t) {
+        dc[t].build(dc_bits + 16 * t, dc_vals + 256 * t);
+        ac[t].build(ac_bits + 16 * t, ac_vals + 256 * t);
+    }
+    for (int c = 0; c < n_comps && c < 4; ++c) {
+        if (comp_dc_tab[c] < 0 || comp_dc_tab[c] > 1 ||
+            comp_ac_tab[c] < 0 || comp_ac_tab[c] > 1)
+            return -8;
+    }
+    {   // RSTn structure pre-validation (same as decode_scan)
+        int nseg = 1;
+        for (int64_t i = 0; i + 1 < data_len; ++i) {
+            if (data[i] == 0xFF) {
+                uint8_t m = data[i + 1];
+                if (m == 0x00) { ++i; continue; }
+                if (m >= 0xD0 && m <= 0xD7) { ++nseg; ++i; continue; }
+                break;
+            }
+        }
+        if (nseg != n_segments) return -6;
+    }
+
+    int64_t seg_start = 0;
+    int32_t pred[4] = {0, 0, 0, 0};
+    int64_t n = 0;
+
+    for (int s = 0; s < n_segments; ++s) {
+        if (seg_start > data_len) return -7;
+        int64_t seg_end = data_len;
+        for (int64_t i = seg_start; i + 1 < data_len; ++i) {
+            if (data[i] == 0xFF) {
+                uint8_t m = data[i + 1];
+                if (m == 0x00) { ++i; continue; }
+                seg_end = i;
+                break;
+            }
+        }
+        BitReader br{data + seg_start, seg_end - seg_start};
+        for (int c = 0; c < 4; ++c) pred[c] = 0;
+        int64_t j0 = (int64_t)s * blocks_per_segment;
+        int64_t j1 = j0 + blocks_per_segment;
+        if (j1 > n_scan) j1 = n_scan;
+        for (int64_t j = j0; j < j1; ++j) {
+            int ci = scan_comp[j];
+            if (ci < 0 || ci >= n_comps || ci >= 4) return -2;
+            int64_t base = (int64_t)scan_flat[j] * 64;
+            const HuffDecoder& hdc = dc[comp_dc_tab[ci]];
+            const HuffDecoder& hac = ac[comp_ac_tab[ci]];
+
+            int ssss = br.decode(hdc);
+            if (br.bad || ssss > 11) return -3;
+            pred[ci] += extend(br.get(ssss), ssss);
+            if (pred[ci] != 0) {
+                if (n >= cap) return -9;
+                idx_out[n] = (int32_t)base;
+                val_out[n++] = (int16_t)pred[ci];
+            }
+
+            int k = 1;
+            while (k < 64) {
+                int rs = br.decode(hac);
+                if (br.bad) return -4;
+                int r = rs >> 4, sz = rs & 15;
+                if (sz == 0) {
+                    if (rs == 0xF0) { k += 16; continue; }
+                    break;
+                }
+                k += r;
+                if (k > 63) return -5;
+                if (n >= cap) return -9;
+                idx_out[n] = (int32_t)(base + k);
+                val_out[n++] = (int16_t)extend(br.get(sz), sz);
+                ++k;
+            }
+        }
+        seg_start = seg_end + 2;
+    }
+    return n;
+}
+
 }  // extern "C"

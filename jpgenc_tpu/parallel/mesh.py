@@ -593,9 +593,8 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
     from concurrent.futures import ThreadPoolExecutor
 
     from jpgenc_tpu.container.parser import parse_jpeg
-    from jpgenc_tpu.decoder import (_densify, _sparsify,
-                                    decode_scan_to_blocks,
-                                    layout_from_parsed, pixel_fn)
+    from jpgenc_tpu.decoder import (_densify, _rows_from_pairs,
+                                    layout_from_parsed, pixel_fn, scan_pairs)
     from jpgenc_tpu.parallel import multihost
 
     if not datas:
@@ -631,12 +630,12 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
          for k in range(rows_per)})
 
     with ThreadPoolExecutor(max_workers=min(8, max(len(owned), 1))) as ex:
-        blocks = dict(zip(owned, ex.map(
-            lambda i: decode_scan_to_blocks(parsed[i], layout), owned)))
+        pairs = dict(zip(owned, ex.map(
+            lambda i: scan_pairs(parsed[i], layout), owned)))
 
     # one cap for the whole mesh (SPMD: every process must trace the same
     # shapes) — max local nnz, maxed across processes via the control plane
-    nnz = max((int(np.count_nonzero(v)) for v in blocks.values()), default=1)
+    nnz = max((i.size for i, _ in pairs.values()), default=1)
     if multihost.process_count() > 1:
         from jax.experimental import multihost_utils
         nnz = int(np.max(multihost_utils.process_allgather(np.int64(nnz))))
@@ -645,7 +644,7 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
     sp = np.zeros((B, 3, cap), np.int16)
     qt = np.zeros((B, n_comps, 64), np.int32)
     for i in owned:
-        sp[i] = _sparsify(blocks[i], cap)
+        sp[i] = _rows_from_pairs(*pairs[i], n_total * 64, cap)
         for ci, c in enumerate(parsed[i].comps):
             if c.qtab not in parsed[i].qtables:
                 raise ValueError(
