@@ -48,6 +48,7 @@ def run_batch(images: Sequence[np.ndarray | str] | np.ndarray,
               optimize: bool = False,
               chunk_size: int = 16,
               mesh=None,
+              dct_method: str = "float",
               encode_chunk: Callable | None = None) -> BatchResult:
     """Encode images[i] -> output_paths[i] with resume via the manifest.
 
@@ -120,6 +121,8 @@ def run_batch(images: Sequence[np.ndarray | str] | np.ndarray,
             if ci + 1 < len(chunks):
                 staged_next = _stage(chunks[ci + 1])
             kwargs = {"staged": staged} if staged is not None else {}
+            if dct_method != "float":
+                kwargs["dct_method"] = dct_method
             outs = encode_chunk(chunk, quality=quality,
                                 subsampling=subsampling,
                                 restart_interval=restart_interval,

@@ -72,7 +72,7 @@ def cmd_batch(args: argparse.Namespace) -> int:
     res = run_batch(paths, outs, manifest, quality=args.quality,
                     subsampling=args.subsampling,
                     restart_interval=args.restart, optimize=args.optimize,
-                    chunk_size=args.chunk)
+                    chunk_size=args.chunk, dct_method=args.dct_method)
     print(json.dumps({"images": len(paths), "done": res.done,
                       "skipped": res.skipped,
                       "mpix_per_s": round(res.mpix_per_s, 2)}))
@@ -170,6 +170,8 @@ def main(argv: list[str] | None = None) -> int:
                     default="420")
     bt.add_argument("--restart", type=int, default=0)
     bt.add_argument("--optimize", action="store_true")
+    bt.add_argument("--dct-method", choices=["float", "islow"],
+                    default="float", dest="dct_method")
     bt.add_argument("--chunk", type=int, default=16,
                     help="images per sharded encode chunk")
     bt.add_argument("--manifest", default="",

@@ -168,3 +168,44 @@ def test_striped_islow_byte_parity_aligned():
     # DRI must equal 5 MCUs (one MCU row = 5). restart_marker_rows=1 -> 5.
     # Our stripe interval 5 = one MCU row -> segments align.
     assert data == _pillow(img, 75, "420", restart_marker_rows=1)
+
+
+def test_byte_parity_random_matrix():
+    """Randomized sweep: 16 seeded (size, quality, mode) combos through the
+    NumPy islow reference, every file byte-identical to Pillow."""
+    rng = np.random.default_rng(42)
+    modes = ["gray", "444", "422", "420"]
+    for trial in range(16):
+        h = int(rng.integers(9, 150))
+        w = int(rng.integers(9, 150))
+        q = int(rng.choice([35, 60, 75, 85, 97]))
+        mode = modes[trial % 4]
+        img = synth_frame(h, w, noise=float(rng.integers(0, 30)),
+                          seed=trial)
+        if mode == "gray":
+            img = img[:, :, 0]
+        assert _ours(img, q, mode) == _pillow(img, q, mode), \
+            f"trial {trial}: {h}x{w} q{q} {mode}"
+
+
+@pytest.mark.parametrize("mode", ["gray", "444", "422", "420"])
+def test_islow_jnp_matches_numpy_ref(mode):
+    """Unit tier: the device (jnp) islow pipeline is bit-identical to the
+    NumPy reference across modes and awkward geometries."""
+    import jax
+    import jax.numpy as jnp
+
+    from jpgenc_tpu.ops.islow import image_to_zigzag_islow as dev
+
+    for hw in [(64, 80), (47, 111), (17, 23)]:
+        img = synth_frame(*hw)
+        if mode == "gray":
+            img = img[:, :, 0]
+        layout = make_layout(hw[0], hw[1], mode, 0)
+        qts = [scale_qtable(QTABLE_LUMA, 75),
+               scale_qtable(QTABLE_CHROMA, 75)]
+        ref = image_to_zigzag_islow(img, layout, qts)
+        qtabs = jnp.asarray(np.stack([q.reshape(64) for q in qts]))
+        got = np.asarray(jax.jit(
+            lambda x, q, lay=layout: dev(x, lay, q))(img, qtabs))
+        np.testing.assert_array_equal(got, ref)
