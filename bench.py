@@ -161,7 +161,7 @@ def main() -> None:
     # for most computations). The headline config runs unconditionally; each
     # further matrix config runs only while the budget holds, so the JSON
     # line always lands regardless of compile weather.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "500"))
     bench_t0 = time.perf_counter()
 
     def budget_left() -> bool:

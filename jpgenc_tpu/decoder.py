@@ -79,6 +79,24 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _tables_by_id(d: dict) -> list:
+    """Huffman tables as native rows indexed BY table id; a missing slot
+    (the file only defines the other id) gets a placeholder that is never
+    referenced (ids are validated by the callers)."""
+    r0, r1 = d.get(0), d.get(1)
+    return [r0 if r0 is not None else r1, r1 if r1 is not None else r0]
+
+
+def _sparse_cap(nnz: int) -> int:
+    """Power-of-2 sparse-row capacity bucket (bounds jit retraces)."""
+    return max(4096, 1 << int(np.ceil(np.log2(max(nnz, 1)))))
+
+
+def _sparse_wins(cap: int, n64: int) -> bool:
+    """True when the [3, cap] int16 sparse upload beats dense int16."""
+    return 6 * cap < 2 * n64
+
+
 def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray:
     """Entropy-decode the scan into the concatenated [n_total, 64] block array.
 
@@ -100,16 +118,9 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
                 f"component {cid} references undefined AC Huffman table {a}")
 
     if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac):
-        def by_id(d):
-            # native rows are indexed BY table id; a missing slot (the file
-            # only defines the other id) gets a placeholder that is never
-            # referenced (ids validated above)
-            r0, r1 = d.get(0), d.get(1)
-            return [r0 if r0 is not None else r1,
-                    r1 if r1 is not None else r0]
         out = native.decode_scan(
             parsed.scan_data, layout, comp_dc, comp_ac,
-            by_id(parsed.dc_tables), by_id(parsed.ac_tables))
+            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables))
         if out is not None:
             return out
     dc_luts = {i: _decode_lut(t) for i, t in parsed.dc_tables.items()}
@@ -178,7 +189,7 @@ def _rows_from_pairs(idx: np.ndarray, val: np.ndarray, size: int,
     the device-side scatter (mode='drop')."""
     n = idx.size
     if cap is None:
-        cap = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        cap = _sparse_cap(n)
     out = np.empty((3, cap), np.int16)
     out[0, :n] = (idx & 0xFFFF).astype(np.int16)
     out[1, :n] = (idx >> 16).astype(np.int16)
@@ -207,13 +218,9 @@ def scan_pairs(parsed: ParsedJpeg, layout: FrameLayout
     if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac) \
             and all(t in parsed.dc_tables for t in comp_dc) \
             and all(t in parsed.ac_tables for t in comp_ac):
-        def by_id(d):
-            r0, r1 = d.get(0), d.get(1)
-            return [r0 if r0 is not None else r1,
-                    r1 if r1 is not None else r0]
         out = native.decode_scan_sparse(
             parsed.scan_data, layout, comp_dc, comp_ac,
-            by_id(parsed.dc_tables), by_id(parsed.ac_tables))
+            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables))
         if out is not None:
             return out
     blocks = decode_scan_to_blocks(parsed, layout)
@@ -343,8 +350,8 @@ def _recon_from_pairs(layout: FrameLayout, idx, val, qts_list,
     qts = [jnp.asarray(np.asarray(q).reshape(64).astype(np.int32))
            for q in qts_list]
     n64 = n_total * 64
-    cap = max(4096, 1 << int(np.ceil(np.log2(max(idx.size, 1)))))
-    if 6 * cap < 2 * n64:
+    cap = _sparse_cap(idx.size)
+    if _sparse_wins(cap, n64):
         sp = _rows_from_pairs(idx, val, n64, cap)
         out = _recon_jit(layout, sparse=True)(jnp.asarray(sp), qts)
     else:
@@ -394,8 +401,13 @@ def decode_batch(datas: list[bytes], to_device: bool = False):
     if not datas:
         return []
     parsed = [parse_jpeg(d) for d in datas]
-    key0 = (parsed[0].height, parsed[0].width, parsed[0].subsampling)
-    if any((p.height, p.width, p.subsampling) != key0 for p in parsed):
+
+    def _geom(p):
+        return (p.height, p.width, p.subsampling, p.restart_interval)
+
+    if any(_geom(p) != _geom(parsed[0]) for p in parsed):
+        # geometry INCLUDES the restart interval: the segment layout drives
+        # the scan decode, so a mixed-DRI batch must go per-image
         if to_device:
             raise ValueError("to_device=True requires same-geometry inputs")
         return [decode(d) for d in datas]
@@ -405,16 +417,8 @@ def decode_batch(datas: list[bytes], to_device: bool = False):
     with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
         pairs = list(ex.map(lambda p: scan_pairs(p, layout), parsed))
 
-    qts_b = []
-    for p in parsed:
-        row = []
-        for ci, c in enumerate(p.comps):
-            if c.qtab not in p.qtables:
-                raise ValueError(
-                    f"component {ci} references undefined quant table {c.qtab}")
-            row.append(np.asarray(p.qtables[c.qtab]).reshape(64)
-                       .astype(np.int32))
-        qts_b.append(row)
+    qts_b = [[np.asarray(q).reshape(64).astype(np.int32)
+              for q in _qts_of(p)] for p in parsed]
     n_comps = len(parsed[0].comps)
     qts = [jnp.asarray(np.stack([row[i] for row in qts_b]))
            for i in range(n_comps)]
@@ -422,8 +426,8 @@ def decode_batch(datas: list[bytes], to_device: bool = False):
     n_total = sum(c.n_blocks for c in layout.comps)
     n64 = n_total * 64
     nnz_max = max(i.size for i, _ in pairs)
-    cap = max(4096, 1 << int(np.ceil(np.log2(max(nnz_max, 1)))))
-    if 3 * 2 * cap < n64 * 2:
+    cap = _sparse_cap(nnz_max)
+    if _sparse_wins(cap, n64):
         sp = jnp.asarray(np.stack(
             [_rows_from_pairs(i, v, n64, cap) for i, v in pairs]))
         out = _recon_jit(layout, batch=len(datas), sparse=True)(sp, qts)

@@ -393,13 +393,17 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
                             ("batch", id(plan), caps))
     zz_rows = None
     local: dict[int, bytes] = {}
+    shared_hdr = None if cfg.optimize_huffman else \
+        build_headers(layout, list(qt_host), dc_tables, ac_tables)
     for i in sorted(rows):
         if i >= b:
             continue  # batch padding
         ui, nb, ov = rows[i]
         if cfg.optimize_huffman:
             dc_tables, ac_tables = per_img_tables[i]
-        hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
+            hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
+        else:
+            hdr = shared_hdr
         if bool(ov) or int(seg_nwords_aligned(nb).sum()) > caps[0] // 4:
             # rare (noise-like content overflowing the tight tier): re-run
             # only the device finalize for this image at the never-overflowing
@@ -593,7 +597,8 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
     from concurrent.futures import ThreadPoolExecutor
 
     from jpgenc_tpu.container.parser import parse_jpeg
-    from jpgenc_tpu.decoder import (_densify, _rows_from_pairs,
+    from jpgenc_tpu.decoder import (_densify, _qts_of, _rows_from_pairs,
+                                    _sparse_cap, _sparse_wins,
                                     layout_from_parsed, pixel_fn, scan_pairs)
     from jpgenc_tpu.parallel import multihost
 
@@ -608,9 +613,15 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
                          "and read your process's addressable shards")
 
     parsed = [parse_jpeg(d) for d in datas]
-    key0 = (parsed[0].height, parsed[0].width, parsed[0].subsampling)
-    if any((p.height, p.width, p.subsampling) != key0 for p in parsed):
-        raise ValueError("decode_batch requires same-geometry inputs")
+
+    def _geom(p):
+        # the segment layout drives the scan decode, so the restart
+        # interval is part of the geometry
+        return (p.height, p.width, p.subsampling, p.restart_interval)
+
+    if any(_geom(p) != _geom(parsed[0]) for p in parsed):
+        raise ValueError("decode_batch requires same-geometry inputs "
+                         "(height, width, subsampling, restart interval)")
     layout = layout_from_parsed(parsed[0])
     n_total = sum(c.n_blocks for c in layout.comps)
     n_comps = len(layout.comps)
@@ -629,9 +640,13 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
          if dev.process_index == jax.process_index()
          for k in range(rows_per)})
 
-    with ThreadPoolExecutor(max_workers=min(8, max(len(owned), 1))) as ex:
-        pairs = dict(zip(owned, ex.map(
-            lambda i: scan_pairs(parsed[i], layout), owned)))
+    # batch-padding rows duplicate the last image: decode each distinct
+    # image once and alias the pad rows to its pairs
+    uniq = sorted({min(i, b - 1) for i in owned})
+    with ThreadPoolExecutor(max_workers=min(8, max(len(uniq), 1))) as ex:
+        upairs = dict(zip(uniq, ex.map(
+            lambda i: scan_pairs(parsed[i], layout), uniq)))
+    pairs = {i: upairs[min(i, b - 1)] for i in owned}
 
     # one cap for the whole mesh (SPMD: every process must trace the same
     # shapes) — max local nnz, maxed across processes via the control plane
@@ -639,31 +654,42 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
     if multihost.process_count() > 1:
         from jax.experimental import multihost_utils
         nnz = int(np.max(multihost_utils.process_allgather(np.int64(nnz))))
-    cap = max(4096, 1 << int(np.ceil(np.log2(max(nnz, 1)))))
+    cap = _sparse_cap(nnz)
+    n64 = n_total * 64
+    sparse = _sparse_wins(cap, n64)   # dense fallback for pathological nnz
 
-    sp = np.zeros((B, 3, cap), np.int16)
+    if sparse:
+        sp = np.zeros((B, 3, cap), np.int16)
+    else:
+        sp = np.zeros((B, n_total, 64), np.int16)
     qt = np.zeros((B, n_comps, 64), np.int32)
     for i in owned:
-        sp[i] = _rows_from_pairs(*pairs[i], n_total * 64, cap)
-        for ci, c in enumerate(parsed[i].comps):
-            if c.qtab not in parsed[i].qtables:
-                raise ValueError(
-                    f"component {ci} references undefined quant table {c.qtab}")
-            qt[i, ci] = np.asarray(parsed[i].qtables[c.qtab]).reshape(64)
+        if sparse:
+            sp[i] = _rows_from_pairs(*pairs[i], n64, cap)
+        else:
+            flat = sp[i].reshape(-1)
+            flat[pairs[i][0]] = pairs[i][1]
+        for ci, q in enumerate(_qts_of(parsed[i])):
+            qt[i, ci] = np.asarray(q).reshape(64)
 
     sh_sp = NamedSharding(mesh, P("batch", None, None))
     sh_qt = NamedSharding(mesh, P("batch", None, None))
     sh_img = NamedSharding(
         mesh, P("batch", *([None] * (2 if layout.is_gray else 3))))
 
-    fkey = (layout.height, layout.width, layout.subsampling, mesh, B)
+    fkey = (layout.height, layout.width, layout.subsampling, mesh, B,
+            sparse)
     fn = _DEC_FNS.get(fkey)
     if fn is None:
         _pix = pixel_fn(layout)
 
-        def _dec1(sp1, qt1):
-            return _pix(_densify(sp1, n_total),
-                        [qt1[i] for i in range(n_comps)])
+        if sparse:
+            def _dec1(sp1, qt1):
+                return _pix(_densify(sp1, n_total),
+                            [qt1[i] for i in range(n_comps)])
+        else:
+            def _dec1(sp1, qt1):
+                return _pix(sp1, [qt1[i] for i in range(n_comps)])
 
         fn = jax.jit(jax.vmap(_dec1), in_shardings=(sh_sp, sh_qt),
                      out_shardings=sh_img)

@@ -135,3 +135,21 @@ def test_sparsify_densify_roundtrip():
 def jnp_asarray(x):
     import jax.numpy as jnp
     return jnp.asarray(x)
+
+
+def test_decode_batch_mixed_restart_interval(rgb_image):
+    """Same size but different DRI is a GEOMETRY mismatch (the segment
+    layout drives the scan decode): decoder.decode_batch falls back to
+    per-image decode; the mesh path raises the up-front error."""
+    from jpgenc_tpu.decoder import decode_batch as dec_batch
+    a = api.encode(rgb_image, quality=75, restart_interval=0)
+    b = api.encode(rgb_image, quality=75, restart_interval=3)
+    outs = dec_batch([a, b])
+    np.testing.assert_array_equal(outs[0], decode(a))
+    np.testing.assert_array_equal(outs[1], decode(b))
+
+    import pytest as _pytest
+
+    from jpgenc_tpu.parallel.mesh import decode_batch as decode_sharded
+    with _pytest.raises(ValueError, match="same-geometry"):
+        decode_sharded([a, b])
