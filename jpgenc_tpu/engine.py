@@ -316,17 +316,20 @@ class DevicePlan:
             zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas_default())
             return zz, symbol_histogram(zz.astype(jnp.int32), plan)
 
+        sflat = self.scan_flat   # closed over: layout-static, so the
+                                 # scan-order gather constant-folds
+
         @jax.jit
-        def _zz_islow(img, qtabs, scan_flat):
+        def _zz_islow(img, qtabs):
             # libjpeg-exact integer pipeline (ops/islow.py), scan-ordered —
             # feeds the same fused entropy kernels as the float path
             from jpgenc_tpu.ops.islow import image_to_zigzag_islow
-            return image_to_zigzag_islow(img, lay, qtabs)[scan_flat]
+            return image_to_zigzag_islow(img, lay, qtabs)[sflat]
 
         @jax.jit
-        def _zz_islow_hist(img, qtabs, scan_flat, plan):
+        def _zz_islow_hist(img, qtabs, plan):
             from jpgenc_tpu.ops.islow import image_to_zigzag_islow
-            zz = image_to_zigzag_islow(img, lay, qtabs)[scan_flat]
+            zz = image_to_zigzag_islow(img, lay, qtabs)[sflat]
             return zz, symbol_histogram(zz, plan)
 
         @jax.jit
@@ -481,10 +484,10 @@ class DevicePlan:
     def zz_scan_islow(self, img, qtabs):
         """libjpeg-exact integer pixels->scan-ordered zigzag (conformance
         mode — output files byte-identical to libjpeg-turbo's)."""
-        return self._zz_islow(img, qtabs, self.scan_flat)
+        return self._zz_islow(img, qtabs)
 
     def zz_islow_and_histogram(self, img, qtabs):
-        return self._zz_islow_hist(img, qtabs, self.scan_flat, self.plan)
+        return self._zz_islow_hist(img, qtabs, self.plan)
 
 
 _PLANS: dict[tuple, DevicePlan] = {}
@@ -505,11 +508,8 @@ def prefix_slice(u_dev, total: int):
     """Device-side slice covering `total` bytes of a byte stream (last
     axis), rounded up to a power of two so the handful of slice executables
     stays compile-cached (fresh compiles cost ~80 s on this platform)."""
-    cap = u_dev.shape[-1]
-    if total >= cap:
-        return u_dev
-    k = min(cap, max(1 << max(0, (total - 1).bit_length()), 4096))
-    return u_dev[..., :k]
+    k = _prefix_k(u_dev, total)
+    return u_dev if k >= u_dev.shape[-1] else u_dev[..., :k]
 
 
 def fetch_prefix(u_dev, total: int) -> np.ndarray:

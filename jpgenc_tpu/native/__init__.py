@@ -226,9 +226,12 @@ def decode_scan_sparse(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
     """Entropy-decode a stuffed scan directly to the SPARSE coefficient form
     (flat idx int32, value int16) — what the device decode path uploads;
     skips the dense [n_total, 64] materialization entirely. Returns None if
-    the native library is unavailable; raises ValueError on malformed
-    streams. Every coefficient costs >= 2 scan bits, so the capacity
-    4*len+8 cannot overflow."""
+    the native library is unavailable OR the capacity heuristic overflows
+    (malformed multi-segment streams can decode coefficients from the
+    bit-reader's zero padding, beyond the 2-bits-per-coefficient bound of
+    well-formed data) — callers then fall back to the dense path, keeping
+    behavior identical between the two. Raises ValueError on malformed
+    streams the dense decoder would also reject."""
     lib = _load()
     if lib is None:
         return None
@@ -248,7 +251,9 @@ def decode_scan_sparse(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
     dc_bits, dc_vals = pack(dc_tables)
     ac_bits, ac_vals = pack(ac_tables)
     data = np.frombuffer(scan_data, np.uint8)
-    cap = 4 * data.size + 8
+    # well-formed data costs >= 2 bits/coefficient; + slack for per-segment
+    # zero-fill padding a malformed stream can decode (~16 bytes/segment)
+    cap = 4 * data.size + 8 + 128 * layout.n_segments
     idx = np.empty(cap, np.int32)
     val = np.empty(cap, np.int16)
     n = lib.decode_scan_sparse(
@@ -260,6 +265,8 @@ def decode_scan_sparse(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
         dc_bits, dc_vals, ac_bits, ac_vals,
         layout.blocks_per_segment, layout.n_segments,
         cap, idx, val)
+    if n == -9:
+        return None          # capacity heuristic exceeded: dense fallback
     if n < 0:
         raise ValueError(f"native scan decode failed (code {n})")
     return idx[:n], val[:n]

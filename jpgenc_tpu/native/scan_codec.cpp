@@ -130,23 +130,19 @@ inline int32_t extend(int32_t v, int s) {   // T.81 F.2.2.1
     return (v >= (1 << (s - 1))) ? v : v - (1 << s) + 1;
 }
 
-}  // namespace
-
-extern "C" {
-
-// data: full stuffed scan (with RSTn markers).
-// comp_dc/ac_tab: table id (0/1) per component.
-// dc_bits/dc_vals: [2][16]/[2][256]; likewise ac.
-// out: [n_total_blocks * 64] int32, pre-zeroed by caller.
-int decode_scan(const uint8_t* data, int64_t data_len,
-                int n_comps,
-                const int32_t* scan_comp, const int32_t* scan_flat,
-                int64_t n_scan,
-                const int32_t* comp_dc_tab, const int32_t* comp_ac_tab,
-                const uint8_t* dc_bits, const uint8_t* dc_vals,
-                const uint8_t* ac_bits, const uint8_t* ac_vals,
-                int64_t blocks_per_segment, int n_segments,
-                int32_t* out) {
+// Shared scan machinery for the dense and sparse decoders: table build +
+// validation, RSTn structure pre-check, per-segment Huffman block loop.
+// `emit(flat_coef_index, value)` receives every NONZERO coefficient (the
+// dense output buffer is pre-zeroed, so skipping zero DC is equivalent);
+// returning false aborts with -9 (capacity exceeded).
+template <typename Emit>
+static int64_t decode_scan_impl(
+        const uint8_t* data, int64_t data_len, int n_comps,
+        const int32_t* scan_comp, const int32_t* scan_flat, int64_t n_scan,
+        const int32_t* comp_dc_tab, const int32_t* comp_ac_tab,
+        const uint8_t* dc_bits, const uint8_t* dc_vals,
+        const uint8_t* ac_bits, const uint8_t* ac_vals,
+        int64_t blocks_per_segment, int n_segments, Emit&& emit) {
     HuffDecoder dc[2], ac[2];
     for (int t = 0; t < 2; ++t) {
         dc[t].build(dc_bits + 16 * t, dc_vals + 256 * t);
@@ -178,7 +174,6 @@ int decode_scan(const uint8_t* data, int64_t data_len,
     }
 
     int64_t seg_start = 0;
-    int seg = 0;
     int32_t pred[4] = {0, 0, 0, 0};
 
     for (int s = 0; s < n_segments; ++s) {
@@ -189,8 +184,7 @@ int decode_scan(const uint8_t* data, int64_t data_len,
             if (data[i] == 0xFF) {
                 uint8_t m = data[i + 1];
                 if (m == 0x00) { ++i; continue; }
-                if (m >= 0xD0 && m <= 0xD7) { seg_end = i; break; }
-                seg_end = i;  // any other marker also terminates
+                seg_end = i;  // any marker terminates the segment
                 break;
             }
         }
@@ -204,14 +198,14 @@ int decode_scan(const uint8_t* data, int64_t data_len,
         for (int64_t j = j0; j < j1; ++j) {
             int ci = scan_comp[j];
             if (ci < 0 || ci >= n_comps || ci >= 4) return -2;
-            int32_t* blk = out + (int64_t)scan_flat[j] * 64;
+            int64_t base = (int64_t)scan_flat[j] * 64;
             const HuffDecoder& hdc = dc[comp_dc_tab[ci]];
             const HuffDecoder& hac = ac[comp_ac_tab[ci]];
 
             int ssss = br.decode(hdc);
             if (br.bad || ssss > 11) return -3;
             pred[ci] += extend(br.get(ssss), ssss);
-            blk[0] = pred[ci];
+            if (pred[ci] != 0 && !emit(base, pred[ci])) return -9;
 
             int k = 1;
             while (k < 64) {
@@ -224,14 +218,37 @@ int decode_scan(const uint8_t* data, int64_t data_len,
                 }
                 k += r;
                 if (k > 63) return -5;
-                blk[k] = extend(br.get(sz), sz);
+                if (!emit(base + k, extend(br.get(sz), sz))) return -9;
                 ++k;
             }
         }
-        ++seg;
         seg_start = seg_end + 2;   // skip RSTn
     }
     return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// data: full stuffed scan (with RSTn markers).
+// comp_dc/ac_tab: table id (0/1) per component.
+// dc_bits/dc_vals: [2][16]/[2][256]; likewise ac.
+// out: [n_total_blocks * 64] int32, pre-zeroed by caller.
+int decode_scan(const uint8_t* data, int64_t data_len,
+                int n_comps,
+                const int32_t* scan_comp, const int32_t* scan_flat,
+                int64_t n_scan,
+                const int32_t* comp_dc_tab, const int32_t* comp_ac_tab,
+                const uint8_t* dc_bits, const uint8_t* dc_vals,
+                const uint8_t* ac_bits, const uint8_t* ac_vals,
+                int64_t blocks_per_segment, int n_segments,
+                int32_t* out) {
+    return (int)decode_scan_impl(
+        data, data_len, n_comps, scan_comp, scan_flat, n_scan,
+        comp_dc_tab, comp_ac_tab, dc_bits, dc_vals, ac_bits, ac_vals,
+        blocks_per_segment, n_segments,
+        [&](int64_t i, int32_t v) { out[i] = v; return true; });
 }
 
 // Final host pass of the production pipeline (the one piece of host work the
@@ -406,12 +423,12 @@ int64_t finalize_scan(const uint32_t* words, const int32_t* bits,
 }
 
 
-// Sparse variant of decode_scan: instead of densifying into out[n*64], emit
-// (flat coefficient index, value) pairs — the form the TPU decode path
-// uploads (decoder._sparsify without the dense round trip). idx_out/val_out
-// must hold `cap` entries; every coefficient costs >= 2 scan bits, so
-// cap = 4*data_len + 8 can never overflow. Returns the pair count, or a
-// negative decode_scan error code (-9: cap exceeded).
+// Sparse variant: emit (flat coefficient index, value) pairs — the form
+// the TPU decode path uploads (decoder._rows_from_pairs, no dense round
+// trip). idx_out/val_out hold `cap` entries; returns the pair count, a
+// negative decode error, or -9 when cap is exceeded (the Python wrapper
+// then falls back to the dense path, keeping malformed-stream behavior
+// identical between the two).
 int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
                            int n_comps,
                            const int32_t* scan_comp, const int32_t* scan_flat,
@@ -422,85 +439,18 @@ int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
                            const uint8_t* ac_bits, const uint8_t* ac_vals,
                            int64_t blocks_per_segment, int n_segments,
                            int64_t cap, int32_t* idx_out, int16_t* val_out) {
-    HuffDecoder dc[2], ac[2];
-    for (int t = 0; t < 2; ++t) {
-        dc[t].build(dc_bits + 16 * t, dc_vals + 256 * t);
-        ac[t].build(ac_bits + 16 * t, ac_vals + 256 * t);
-    }
-    for (int c = 0; c < n_comps && c < 4; ++c) {
-        if (comp_dc_tab[c] < 0 || comp_dc_tab[c] > 1 ||
-            comp_ac_tab[c] < 0 || comp_ac_tab[c] > 1)
-            return -8;
-    }
-    {   // RSTn structure pre-validation (same as decode_scan)
-        int nseg = 1;
-        for (int64_t i = 0; i + 1 < data_len; ++i) {
-            if (data[i] == 0xFF) {
-                uint8_t m = data[i + 1];
-                if (m == 0x00) { ++i; continue; }
-                if (m >= 0xD0 && m <= 0xD7) { ++nseg; ++i; continue; }
-                break;
-            }
-        }
-        if (nseg != n_segments) return -6;
-    }
-
-    int64_t seg_start = 0;
-    int32_t pred[4] = {0, 0, 0, 0};
     int64_t n = 0;
-
-    for (int s = 0; s < n_segments; ++s) {
-        if (seg_start > data_len) return -7;
-        int64_t seg_end = data_len;
-        for (int64_t i = seg_start; i + 1 < data_len; ++i) {
-            if (data[i] == 0xFF) {
-                uint8_t m = data[i + 1];
-                if (m == 0x00) { ++i; continue; }
-                seg_end = i;
-                break;
-            }
-        }
-        BitReader br{data + seg_start, seg_end - seg_start};
-        for (int c = 0; c < 4; ++c) pred[c] = 0;
-        int64_t j0 = (int64_t)s * blocks_per_segment;
-        int64_t j1 = j0 + blocks_per_segment;
-        if (j1 > n_scan) j1 = n_scan;
-        for (int64_t j = j0; j < j1; ++j) {
-            int ci = scan_comp[j];
-            if (ci < 0 || ci >= n_comps || ci >= 4) return -2;
-            int64_t base = (int64_t)scan_flat[j] * 64;
-            const HuffDecoder& hdc = dc[comp_dc_tab[ci]];
-            const HuffDecoder& hac = ac[comp_ac_tab[ci]];
-
-            int ssss = br.decode(hdc);
-            if (br.bad || ssss > 11) return -3;
-            pred[ci] += extend(br.get(ssss), ssss);
-            if (pred[ci] != 0) {
-                if (n >= cap) return -9;
-                idx_out[n] = (int32_t)base;
-                val_out[n++] = (int16_t)pred[ci];
-            }
-
-            int k = 1;
-            while (k < 64) {
-                int rs = br.decode(hac);
-                if (br.bad) return -4;
-                int r = rs >> 4, sz = rs & 15;
-                if (sz == 0) {
-                    if (rs == 0xF0) { k += 16; continue; }
-                    break;
-                }
-                k += r;
-                if (k > 63) return -5;
-                if (n >= cap) return -9;
-                idx_out[n] = (int32_t)(base + k);
-                val_out[n++] = (int16_t)extend(br.get(sz), sz);
-                ++k;
-            }
-        }
-        seg_start = seg_end + 2;
-    }
-    return n;
+    int64_t rc = decode_scan_impl(
+        data, data_len, n_comps, scan_comp, scan_flat, n_scan,
+        comp_dc_tab, comp_ac_tab, dc_bits, dc_vals, ac_bits, ac_vals,
+        blocks_per_segment, n_segments,
+        [&](int64_t i, int32_t v) {
+            if (n >= cap) return false;
+            idx_out[n] = (int32_t)i;
+            val_out[n++] = (int16_t)v;
+            return true;
+        });
+    return rc ? rc : n;
 }
 
 }  // extern "C"

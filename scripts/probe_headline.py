@@ -55,7 +55,8 @@ def main():
     def collect(pend):
         up_dev, nbits, ovf, u = pend
         up, nb, ov = jax.device_get((up_dev, nbits, ovf))
-        total_w = int(((nb + 31) >> 5).sum(axis=1).max())
+        from jpgenc_tpu.ops.pack import seg_nwords_aligned
+        total_w = int(seg_nwords_aligned(nb).sum(axis=1).max())
         assert not ov.any() and total_w <= cap_w
         if total_w > up.shape[-1]:
             up = fetch_prefix(u, total_w)
