@@ -120,3 +120,17 @@ def test_sharded_decode_batch_matches_single(rng):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         decode_sharded([files[0], gfiles[0]])
+
+
+def test_sharded_decode_batch_sparse_branch(rng):
+    """Images large enough that the sparse coefficient upload wins
+    (n_total*64 above the cap floor): exercises the sparse jit variant of
+    mesh.decode_batch (small images take the dense branch)."""
+    from jpgenc_tpu.parallel.mesh import decode_batch as decode_sharded
+    from jpgenc_tpu.utils.fixtures import synth_frame
+
+    imgs = np.stack([synth_frame(120, 264, seed=i) for i in range(8)])
+    files = [api.encode(imgs[i], quality=75) for i in range(8)]
+    arr = np.asarray(decode_sharded(files))
+    for i in range(8):
+        np.testing.assert_array_equal(arr[i], decode(files[i]))
