@@ -28,8 +28,10 @@ dims. Outputs feed kernel B (fused_seg_merge) unchanged.
 
 Numerics match the dense K1 kernel exactly (same operator, same op order);
 the entropy half is integer-exact. Covers the color modes whose MCU row
-fits the BlockSpec DMA budget (1080p/4K 420/422/444); gray and oversize
-fall back to the split pipeline.
+fits the BlockSpec DMA budget (1080p/4K 420/422/444) plus grayscale
+(`_k1a_gray_kernel`: one 8x8 block per MCU, same (x-128) @ KDCT_ZZ
+formulation as k1_dct._gray_kernel so the split/fused paths stay
+bit-identical); oversize rows fall back to the split pipeline.
 """
 from __future__ import annotations
 
@@ -316,20 +318,129 @@ def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
     return cols_l + cols_r, [tot_l, tot_r]
 
 
-def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
-    """Static gate: interleaved color with the MCU-row DMA block in budget
-    (mirrors k1_dct's dense-DMA gate) and a first/safe-tier w_blk. Gray,
-    oversize rows, and the 56-word worst tier use the split K1 / kernel-A
-    pipeline (the unrolled per-word merge holds ~w_blk live [mx, 128]
-    vectors — at w_blk=56 the scoped-VMEM stack overflows Mosaic's 16 MB
-    limit; the worst tier only runs on rare pathological-content retries)."""
-    if layout.is_gray or w_blk > 24:
-        return False
+def _k1a_gray_kernel(x_ref, k_ref, q_ref,
+                     ac_rows_ref, dc_rows_ref, misc_ref,
+                     buf_ref, bits_ref, carry_ref,
+                     *, mx: int, mps: int, w_blk: int):
+    """Gray variant: one 8x8 block per MCU, luma tables only. One grid step
+    processes one MCU row ([mx, 64] u8 blocks); the DC predictor crosses
+    rows via the same sequential-grid VMEM carry as the color kernel. The
+    transform half is k1_dct._gray_kernel's exact formulation ((x - 128) @
+    KDCT_ZZ, quantize), so the fused and split Pallas paths stay
+    bit-identical (the capacity-tier retry may switch paths mid-encode)."""
+    i = pl.program_id(0)
+
+    x = x_ref[:].astype(_I32).astype(_F32) - _F32(128.0)   # [mx, 64]
+    out = jnp.dot(x, k_ref[:], precision=jax.lax.Precision.HIGHEST)
+    v = round_half_away(out / q_ref[:]).astype(_I32)
+
+    # --- DC DPCM: predecessor is the previous MCU in raster order (same
+    # masked-sum column extraction as the color kernel — see layout note
+    # there), reset at restart-segment starts, row-crossing via the carry.
+    lane = jax.lax.broadcasted_iota(_I32, (mx, 64), 1)
+    dc_col = jnp.sum(jnp.where(lane == 0, v, 0), axis=1, keepdims=True)
+
+    c_row = carry_ref[:]                                   # [1, 128]
+    lane128 = jax.lax.broadcasted_iota(_I32, (1, 128), 1)
+    shifted = jnp.pad(dc_col, ((1, 0), (0, 0)))[0:mx]
+    csel = jnp.sum(jnp.where(lane128 == 0, c_row, 0), axis=1, keepdims=True)
+    prev = shifted + jnp.pad(csel, ((0, mx - 1), (0, 0)))
+    g = i * mx + jax.lax.broadcasted_iota(_I32, (mx, 1), 0)
+    prev = jnp.where((g % mps) == 0, 0, prev)
+    dcdiff = dc_col - prev
+
+    is_last = jax.lax.broadcasted_iota(_I32, (mx, 1), 0) == mx - 1
+    cval = jnp.sum(jnp.where(is_last, dc_col, 0), axis=0, keepdims=True)
+    carry_ref[:] = jnp.pad(cval, ((0, 0), (0, 127)))
+
+    # --- entropy + per-block pack, table 0 (gray uses the luma tables)
+    pos, nz, run, s_ac, amp_ac, sym = _ac_analysis(v)
+    idx_lo = jnp.pad(sym & 127, ((0, 0), (0, 64)))         # [mx, 128]
+    lo = jnp.take_along_axis(
+        jnp.broadcast_to(ac_rows_ref[0:1, :], (mx, 128)), idx_lo,
+        axis=1)[:, :64]
+    hi = jnp.take_along_axis(
+        jnp.broadcast_to(ac_rows_ref[1:2, :], (mx, 128)), idx_lo,
+        axis=1)[:, :64]
+    e_ac = jnp.where(sym >= 128, hi, lo)
+
+    s_dc, amp_dc = _dc_piece(dcdiff)
+    e_dc = jnp.take_along_axis(
+        jnp.broadcast_to(dc_rows_ref[0:1, :], (mx, 128)),
+        jnp.broadcast_to(s_dc, (mx, 128)), axis=1)[:, :1]
+    zrl = jnp.full((mx, 1), misc_ref[0, 0], _I32)
+    eob = jnp.full((mx, 1), misc_ref[0, 2], _I32)
+    valid = jnp.ones((mx, 1), jnp.bool_)
+
+    buf, total = _pack_slots(pos, nz, run, s_ac, amp_ac, e_ac,
+                             s_dc, amp_dc, e_dc, zrl, eob, valid, w_blk)
+    buf_ref[:] = buf
+    bits_ref[:] = total
+
+
+def _fused_gray(img: jnp.ndarray, layout: FrameLayout, qtabs: jnp.ndarray,
+                tables: tuple, w_blk: int, interpret: bool
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    from jpgenc_tpu import tables as T
+    from jpgenc_tpu.ops import color as C
+    from jpgenc_tpu.ops.transform import _KDCT_ZZ
+
+    ac_rows, dc_rows, misc = tables
     c0 = layout.comps[0]
+    my, mx = layout.mcus_y, layout.mcus_x
+    mps = layout.restart_interval or layout.n_mcus
+    zzi = np.asarray(T.ZIGZAG)
+    q = qtabs[0].reshape(64).astype(_F32)[zzi].reshape(1, 64)
+    k = jnp.asarray(_KDCT_ZZ)
+
+    padded = C.pad_replicate(img, c0.plane_h, c0.plane_w)
+    blocks = (padded.reshape(my, 8, mx, 8).transpose(0, 2, 1, 3)
+              .reshape(my * mx, 64))
+
+    return pl.pallas_call(
+        functools.partial(_k1a_gray_kernel, mx=mx, mps=mps, w_blk=w_blk),
+        grid=(my,),
+        in_specs=[
+            pl.BlockSpec((mx, 64), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((mx, w_blk), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mx, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((my * mx, w_blk), jnp.uint32),
+            jax.ShapeDtypeStruct((my * mx, 1), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, 128), _I32)],
+        interpret=interpret,
+    )(blocks, k, q, ac_rows, dc_rows, misc)
+
+
+def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
+    """Static gate: MCU-row DMA block in budget (mirrors k1_dct's dense-DMA
+    gate) and a first/safe-tier w_blk. Oversize rows and the 56-word worst
+    tier use the split K1 / kernel-A pipeline (the unrolled per-word merge
+    holds ~w_blk live [mx, 128] vectors — at w_blk=56 the scoped-VMEM stack
+    overflows Mosaic's 16 MB limit; the worst tier only runs on rare
+    pathological-content retries). Gray runs `_k1a_gray_kernel` (one 8x8
+    block per MCU) under the same mcus_x % 8 tiling rule."""
+    if w_blk > 24:
+        return False
     if layout.mcus_x % 8:
         # output BlockSpecs are [mcus_x, ...] tiles: Mosaic requires the
         # sublane dim divisible by 8 (found via an odd-width 480px encode)
         return False
+    if layout.is_gray:
+        return 64 * layout.mcus_x * 4 <= (4 << 20)
+    c0 = layout.comps[0]
     return 8 * c0.vs * layout.mcus_x * 128 * 4 <= (4 << 20)
 
 
@@ -345,6 +456,15 @@ def fused_pixels_to_pack(img: jnp.ndarray, layout: FrameLayout,
     from jpgenc_tpu.ops import color as C
 
     assert k1a_applicable(layout)
+    if layout.is_gray:
+        buf, bits = _fused_gray(img, layout, qtabs, tables, w_blk, interpret)
+        buf = buf.reshape(-1, w_blk)
+        bits = bits.reshape(-1)
+        s_pad = layout.n_segments * layout.blocks_per_segment
+        if s_pad > buf.shape[0]:
+            buf = jnp.pad(buf, ((0, s_pad - buf.shape[0]), (0, 0)))
+            bits = jnp.pad(bits, (0, s_pad - bits.shape[0]))
+        return buf, bits
     ac_rows, dc_rows, misc = tables
     c0 = layout.comps[0]
     nb = c0.hs * c0.vs

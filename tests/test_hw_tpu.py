@@ -97,15 +97,17 @@ def test_k1a_fused_vs_split(tpu, frame):
     luts = luts_from_tables(*standard_tables())
     tabs = packed_tables(luts)
     _, qt = qtables_for_quality(75)
-    for mode, dri, w_blk in [("420", 0, 8), ("420", 4, 24), ("422", 0, 24)]:
+    for mode, dri, w_blk in [("420", 0, 8), ("420", 4, 24), ("422", 0, 24),
+                             ("gray", 0, 8), ("gray", 5, 8)]:
+        img = frame[:, :, 0] if mode == "gray" else frame
         layout = make_layout(256, 256, mode, dri)
         assert k1a_applicable(layout)
         plan = get_plan(layout)
-        zz = fused_pixels_to_scan(frame, layout, qt)
+        zz = fused_pixels_to_scan(img, layout, qt)
         meta = slot_metadata(plan.plan, zz)
         ref_buf, ref_bits = fused_block_pack(zz, *meta, tables=tabs,
                                              w_blk=w_blk)
-        buf, bits = fused_pixels_to_pack(frame, layout, qt, tabs, w_blk)
+        buf, bits = fused_pixels_to_pack(img, layout, qt, tabs, w_blk)
         np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits),
                                       err_msg=f"{mode} dri={dri}")
         np.testing.assert_array_equal(np.asarray(buf), np.asarray(ref_buf),

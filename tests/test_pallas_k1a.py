@@ -18,6 +18,9 @@ CASES = [
     (64, 126, "422", 2),       # replicate-pad to the MCU grid
     (48, 62, "444", 0),
     (112, 128, "420", 1),      # every MCU its own segment
+    (64, 128, "gray", 0),      # gray: one block per MCU, luma tables only
+    (100, 64, "gray", 3),      # gray + DRI: short last segment, row-crossing
+                               # DC carry inside a segment (8 MCUs/row, DRI=3)
 ]
 
 
@@ -42,7 +45,7 @@ def test_fused_k1a_matches_split_pipeline(h, w, sub, dri, w_blk, rng):
     _, qt = qtables_for_quality(75)
     luts = luts_from_tables(*standard_tables())
     tabs = packed_tables(luts)
-    img = synth_frame(h, w)
+    img = synth_frame(h, w, channels=0 if sub == "gray" else 3)
 
     zz = fused_pixels_to_scan(img, lay, qt, interpret=True)
     meta = slot_metadata(plan, zz)
@@ -58,9 +61,11 @@ def test_k1a_gate():
     from jpgenc_tpu.layout import make_layout
     from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
 
-    assert not k1a_applicable(make_layout(64, 64, "gray", 0))
+    assert k1a_applicable(make_layout(64, 64, "gray", 0))
+    assert k1a_applicable(make_layout(512, 512, "gray", 0))
     assert k1a_applicable(make_layout(2160, 3840, "420", 0))
     # oversize MCU rows (DMA block > 4 MB) must fall back
     assert not k1a_applicable(make_layout(64, 70000, "420", 0))
     # mcus_x not divisible by 8 (Mosaic sublane tiling) must fall back
     assert not k1a_applicable(make_layout(360, 480, "420", 0))
+    assert not k1a_applicable(make_layout(64, 120, "gray", 0))
