@@ -385,18 +385,28 @@ def decode(data: bytes, to_device: bool = False):
                              to_device=to_device)
 
 
-def decode_batch(datas: list[bytes], to_device: bool = False):
-    """Decode same-geometry JPEGs with ONE batched device reconstruction.
+def decode_batch(datas: list[bytes], to_device: bool = False,
+                 chunk: int | None = None):
+    """Decode same-geometry JPEGs with batched device reconstruction.
 
     Host side parses + entropy-decodes each scan (native C++, the GIL is
     released during the call so a thread pool gives real parallelism);
-    device side runs a single vmapped dispatch and one download for the
-    whole batch — amortizing the per-dispatch cost that dominates
-    single-image decode on this platform. Falls back to per-image decode
-    when geometries differ.
+    device side runs vmapped dispatches — amortizing the per-dispatch cost
+    that dominates single-image decode on this platform. Falls back to
+    per-image decode when geometries differ.
 
-    to_device=True returns the stacked [B, H, W(, 3)] jax.Array still in
-    HBM — zero download, the training-input-pipeline shape.
+    chunk=N splits the batch into N-image sub-dispatches ENQUEUED back to
+    back: chunk i+1's coefficient upload overlaps chunk i's reconstruction
+    (JAX async dispatch), hiding most of the host->device transfer behind
+    compute (~1.4x at 32x1080p on this platform). All chunks share one
+    sparse capacity bucket, so exactly two executables compile (full
+    chunk + remainder). Default (None) keeps the single-dispatch path.
+
+    to_device=True returns the decoded pixels still in HBM — zero
+    download, the training-input-pipeline shape: a stacked
+    [B, H, W(, 3)] jax.Array, or a LIST of per-chunk stacked arrays when
+    chunk is set (device-side concatenation would re-copy ~6 MB/frame
+    through HBM; consumers iterate chunks instead).
     """
     if not datas:
         return []
@@ -420,24 +430,35 @@ def decode_batch(datas: list[bytes], to_device: bool = False):
     qts_b = [[np.asarray(q).reshape(64).astype(np.int32)
               for q in _qts_of(p)] for p in parsed]
     n_comps = len(parsed[0].comps)
-    qts = [jnp.asarray(np.stack([row[i] for row in qts_b]))
-           for i in range(n_comps)]
-    # shared power-of-2 cap across the batch -> one [B, 3, cap] upload
+    # shared power-of-2 cap across the batch -> one executable per chunk size
     n_total = sum(c.n_blocks for c in layout.comps)
     n64 = n_total * 64
     nnz_max = max(i.size for i, _ in pairs)
     cap = _sparse_cap(nnz_max)
-    if _sparse_wins(cap, n64):
-        sp = jnp.asarray(np.stack(
-            [_rows_from_pairs(i, v, n64, cap) for i, v in pairs]))
-        out = _recon_jit(layout, batch=len(datas), sparse=True)(sp, qts)
-    else:
-        dense = np.zeros((len(pairs), n64), np.int16)
-        for r, (i, v) in enumerate(pairs):
-            dense[r, i] = v
-        out = _recon_jit(layout, batch=len(datas))(
-            jnp.asarray(dense.reshape(-1, n_total, 64)), qts)
+    sparse = _sparse_wins(cap, n64)
+    b = len(datas)
+    if chunk is None or chunk >= b:
+        chunk = b
+
+    outs_d = []
+    for c0 in range(0, b, chunk):
+        rows = pairs[c0:c0 + chunk]
+        qts = [jnp.asarray(np.stack([row[i] for row in qts_b[c0:c0 + chunk]]))
+               for i in range(n_comps)]
+        if sparse:
+            sp = jnp.asarray(np.stack(
+                [_rows_from_pairs(i, v, n64, cap) for i, v in rows]))
+            outs_d.append(
+                _recon_jit(layout, batch=len(rows), sparse=True)(sp, qts))
+        else:
+            dense = np.zeros((len(rows), n64), np.int16)
+            for r, (i, v) in enumerate(rows):
+                dense[r, i] = v
+            outs_d.append(_recon_jit(layout, batch=len(rows))(
+                jnp.asarray(dense.reshape(-1, n_total, 64)), qts))
     if to_device:
-        return out
-    arr = np.asarray(out)
-    return [arr[i] for i in range(arr.shape[0])]
+        return outs_d[0] if len(outs_d) == 1 else outs_d
+    # each np.asarray blocks only on its own chunk; later chunks keep
+    # computing while earlier ones download
+    return [a[i] for o in outs_d for a in (np.asarray(o),)
+            for i in range(a.shape[0])]

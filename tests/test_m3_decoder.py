@@ -92,6 +92,36 @@ def test_decode_batch_matches_single(rgb_image, gray_image):
     assert outs[0].ndim == 3 and outs[1].ndim == 2
 
 
+def test_decode_batch_chunked(rgb_image):
+    """chunk=N (pipelined sub-dispatches) must return the same images as the
+    single-dispatch path, including a short remainder chunk; to_device=True
+    returns a list of per-chunk stacked arrays covering the whole batch."""
+    import jax
+    from jpgenc_tpu.api import decode_batch, encode
+    files = [encode(rgb_image, quality=q) for q in (50, 60, 75, 85, 90)]
+    ref = decode_batch(files)
+    got = decode_batch(files, chunk=2)          # chunks of 2, 2, 1
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        # different vmap batch sizes may reassociate the IDCT matmul:
+        # knife-edge pixels can shift by 1 (same policy as the
+        # batch-vs-single test above)
+        assert r.shape == g.shape
+        assert np.abs(r.astype(int) - g.astype(int)).max() <= 1
+
+    chunks = decode_batch(files, to_device=True, chunk=2)
+    assert isinstance(chunks, list) and len(chunks) == 3
+    assert all(isinstance(c, jax.Array) for c in chunks)
+    assert sum(c.shape[0] for c in chunks) == len(files)
+    flat = [np.asarray(c[i]) for c in chunks for i in range(c.shape[0])]
+    for r, g in zip(got, flat):                 # same chunking: exact
+        np.testing.assert_array_equal(r, g)
+
+    # chunk >= batch keeps the stacked-array contract
+    stacked = decode_batch(files, to_device=True, chunk=16)
+    assert isinstance(stacked, jax.Array) and stacked.shape[0] == len(files)
+
+
 def test_decode_to_device(rgb_image):
     """to_device=True keeps pixels in HBM (jax.Array), values identical to
     the host-download path, cropped to true size on device."""
