@@ -97,11 +97,14 @@ def _sparse_wins(cap: int, n64: int) -> bool:
     return 6 * cap < 2 * n64
 
 
-def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray:
+def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout,
+                          n_threads: int = 0) -> np.ndarray:
     """Entropy-decode the scan into the concatenated [n_total, 64] block array.
 
-    Uses the native C++ decoder (jpgenc_tpu.native) when available; the pure
-    Python reader below is the reference fallback and stays test-covered.
+    Uses the native C++ decoder (jpgenc_tpu.native) when available — with
+    `n_threads` segment-parallel workers over restart segments (0 = auto;
+    1 = serial); the pure Python reader below is the reference fallback and
+    stays test-covered.
 
     Table assignments come from the file's SOS header (parsed.comps), not the
     canonical layout ids, so foreign baseline files with unusual Td/Ta
@@ -120,7 +123,8 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
     if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac):
         out = native.decode_scan(
             parsed.scan_data, layout, comp_dc, comp_ac,
-            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables))
+            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables),
+            n_threads=n_threads)
         if out is not None:
             return out
     dc_luts = {i: _decode_lut(t) for i, t in parsed.dc_tables.items()}
@@ -175,7 +179,10 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout) -> np.ndarray
     return out
 
 
-_RECON: dict[tuple, object] = {}
+from jpgenc_tpu.utils.lru import LRUCache  # noqa: E402
+
+#: bounded: one jitted reconstruction per (geometry, batch, sparse) key
+_RECON = LRUCache(32)
 
 
 def _rows_from_pairs(idx: np.ndarray, val: np.ndarray, size: int,
@@ -207,11 +214,13 @@ def _sparsify(blocks: np.ndarray, cap: int | None = None) -> np.ndarray:
                             blocks.reshape(-1)[nz], blocks.size, cap)
 
 
-def scan_pairs(parsed: ParsedJpeg, layout: FrameLayout
+def scan_pairs(parsed: ParsedJpeg, layout: FrameLayout, n_threads: int = 0
                ) -> tuple[np.ndarray, np.ndarray]:
     """Entropy-decode the scan directly to nonzero coefficient pairs
     (flat idx, int16 value) — the native C++ decoder emits this form
-    without ever materializing the dense [n_total, 64] tensor; the Python
+    without ever materializing the dense [n_total, 64] tensor, decoding
+    restart segments across `n_threads` workers (0 = auto; 1 = serial —
+    batch paths pass 1 and parallelize across images instead); the Python
     reference decode + flatnonzero is the fallback."""
     comp_dc = [c.dc_tab for c in parsed.comps]
     comp_ac = [c.ac_tab for c in parsed.comps]
@@ -220,10 +229,11 @@ def scan_pairs(parsed: ParsedJpeg, layout: FrameLayout
             and all(t in parsed.ac_tables for t in comp_ac):
         out = native.decode_scan_sparse(
             parsed.scan_data, layout, comp_dc, comp_ac,
-            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables))
+            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables),
+            n_threads=n_threads)
         if out is not None:
             return out
-    blocks = decode_scan_to_blocks(parsed, layout)
+    blocks = decode_scan_to_blocks(parsed, layout, n_threads=n_threads)
     nz = np.flatnonzero(blocks)
     return nz.astype(np.int64), blocks.reshape(-1)[nz].astype(np.int16)
 
@@ -399,17 +409,21 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
     back: chunk i+1's coefficient upload overlaps chunk i's reconstruction
     (JAX async dispatch), hiding most of the host->device transfer behind
     compute (~1.4x at 32x1080p on this platform). All chunks share one
-    sparse capacity bucket, so exactly two executables compile (full
-    chunk + remainder). Default (None) keeps the single-dispatch path.
+    sparse capacity bucket, so at most two executables compile (full
+    chunk, plus a remainder one only when chunk does not divide the
+    batch). Default (None) keeps the single-dispatch path.
 
     to_device=True returns the decoded pixels still in HBM — zero
     download, the training-input-pipeline shape: a stacked
-    [B, H, W(, 3)] jax.Array, or a LIST of per-chunk stacked arrays when
-    chunk is set (device-side concatenation would re-copy ~6 MB/frame
-    through HBM; consumers iterate chunks instead).
+    [B, H, W(, 3)] jax.Array when chunk is None, or a LIST of per-chunk
+    stacked arrays whenever chunk is set — even if the batch fits one
+    chunk, so callers with a fixed chunk see one type regardless of batch
+    size (device-side concatenation would re-copy ~6 MB/frame through
+    HBM; consumers iterate chunks instead).
     """
     if not datas:
         return []
+    chunked = chunk is not None
     parsed = [parse_jpeg(d) for d in datas]
 
     def _geom(p):
@@ -423,9 +437,14 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
         return [decode(d) for d in datas]
     layout = layout_from_parsed(parsed[0])
 
+    # across-image parallelism via the pool; within-image segment threading
+    # (n_threads=0 auto) only when there's a single image to decode —
+    # nesting both would oversubscribe the cores
+    nth = 1 if len(parsed) > 1 else 0
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
-        pairs = list(ex.map(lambda p: scan_pairs(p, layout), parsed))
+        pairs = list(ex.map(
+            lambda p: scan_pairs(p, layout, n_threads=nth), parsed))
 
     qts_b = [[np.asarray(q).reshape(64).astype(np.int32)
               for q in _qts_of(p)] for p in parsed]
@@ -457,7 +476,7 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
             outs_d.append(_recon_jit(layout, batch=len(rows))(
                 jnp.asarray(dense.reshape(-1, n_total, 64)), qts))
     if to_device:
-        return outs_d[0] if len(outs_d) == 1 else outs_d
+        return outs_d if chunked else outs_d[0]
     # each np.asarray blocks only on its own chunk; later chunks keep
     # computing while earlier ones download
     return [a[i] for o in outs_d for a in (np.asarray(o),)

@@ -267,6 +267,11 @@ class DevicePlan:
 
     def __init__(self, layout: FrameLayout):
         self.layout = layout
+        # stable identity for cross-module executable-cache keys: id(self)
+        # can be reused by the allocator after an LRU eviction, so caches
+        # must never key on object identity
+        self.key = (layout.height, layout.width, layout.subsampling,
+                    layout.restart_interval)
         self.plan = make_symbol_plan(layout)
         self.scan_flat = jnp.asarray(make_scan_gather(layout))
         self.n_seg = layout.n_segments
@@ -347,7 +352,8 @@ class DevicePlan:
         self._zz_islow = _zz_islow
         self._zz_islow_hist = _zz_islow_hist
         self._entropy_zz = _entropy_zz
-        self._bytes_fns: dict[tuple, dict] = {}
+        from jpgenc_tpu.utils.lru import LRUCache
+        self._bytes_fns = LRUCache(8)   # (cap_u, w_blk) -> jitted pipelines
         self._prefix_guess = 1024   # adaptive speculative-fetch length (u32 words)
 
     def bytes_fns(self, cap_u: int, w_blk: int) -> dict:
@@ -405,7 +411,7 @@ class DevicePlan:
                                     "entropy_zz": _entropy_bytes_zz}
         return self._bytes_fns[key]
 
-    def _finish_bytes(self, outs, cap_u, first_rst, n_rst):
+    def _finish_bytes(self, outs, cap_u, first_rst, n_rst, n_seg_keep=-1):
         u_dev, nbits_dev, ovf_dev = outs
         # speculative single round trip: metadata + a guessed stream prefix
         # packed into ONE device array (a partial fetch costs ~50 ms of
@@ -423,20 +429,28 @@ class DevicePlan:
         if total_w > up.shape[-1]:
             up = fetch_prefix(u_dev, total_w)
         self._prefix_guess = max(total_w, 1024)
+        if n_seg_keep >= 0:
+            # ragged stripe tail: the trailing segments cover only padding
+            # MCU rows and are dropped from the emitted scan (the wcompact
+            # stream is segment-ordered, so a prefix slice is exact)
+            nbits = nbits[:n_seg_keep]
         if n_rst < 0:
             n_rst = len(nbits) - 1
         return finalize_host_w(up, nbits, first_rst, n_rst), True
 
     def encode_scan_bytes(self, img, qtabs, luts, cap_u: int,
-                          w_blk: int, first_rst: int = 0, n_rst: int = -1):
+                          w_blk: int, first_rst: int = 0, n_rst: int = -1,
+                          n_seg_keep: int = -1):
         """Full device encode -> (scan bytes, ok). ok=False on any overflow.
 
         first_rst/n_rst override the RSTn numbering for stripe sub-images
-        (n_rst=-1 selects the whole-image default of n_segments-1).
+        (n_rst=-1 selects the whole-image default of n_segments-1);
+        n_seg_keep >= 0 keeps only the first n_seg_keep segments (ragged
+        stripe tails drop their padding-row segments).
         """
         fns = self.bytes_fns(cap_u, w_blk)
         outs = fns["encode"](img, qtabs, self.plan, self.scan_flat, luts)
-        return self._finish_bytes(outs, cap_u, first_rst, n_rst)
+        return self._finish_bytes(outs, cap_u, first_rst, n_rst, n_seg_keep)
 
     def entropy_scan_bytes(self, blocks, luts, cap_u: int,
                            w_blk: int, first_rst: int = 0, n_rst: int = -1):
@@ -446,11 +460,12 @@ class DevicePlan:
         return self._finish_bytes(outs, cap_u, first_rst, n_rst)
 
     def entropy_scan_bytes_zz(self, zz, luts, cap_u: int, w_blk: int,
-                              first_rst: int = 0, n_rst: int = -1):
+                              first_rst: int = 0, n_rst: int = -1,
+                              n_seg_keep: int = -1):
         """Entropy-only encode from SCAN-ORDERED blocks (optimize pass 2)."""
         fns = self.bytes_fns(cap_u, w_blk)
         outs = fns["entropy_zz"](zz, self.plan, luts)
-        return self._finish_bytes(outs, cap_u, first_rst, n_rst)
+        return self._finish_bytes(outs, cap_u, first_rst, n_rst, n_seg_keep)
 
     # -- public ------------------------------------------------------------
 
@@ -490,14 +505,20 @@ class DevicePlan:
         return self._zz_islow_hist(img, qtabs, self.plan)
 
 
-_PLANS: dict[tuple, DevicePlan] = {}
+from jpgenc_tpu.utils.lru import LRUCache  # noqa: E402
+
+#: bounded: a long-lived service over heterogeneous geometries must not
+#: accumulate executables forever (one DevicePlan holds ~10 jitted callables)
+_PLANS = LRUCache(16)
 
 
 def get_plan(layout: FrameLayout) -> DevicePlan:
     key = (layout.height, layout.width, layout.subsampling, layout.restart_interval)
-    if key not in _PLANS:
-        _PLANS[key] = DevicePlan(layout)
-    return _PLANS[key]
+    plan = _PLANS.get(key)
+    if plan is None:
+        plan = DevicePlan(layout)
+        _PLANS[key] = plan
+    return plan
 
 
 # ---------------------------------------------------------------------------

