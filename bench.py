@@ -123,8 +123,11 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
     return iters[len(iters) // 2], outs
 
 
-def _psnr_bpp(data: bytes, img: np.ndarray, quality: int) -> dict:
-    """Quality half of the metric pair: ours vs the Pillow anchor."""
+def _psnr_bpp(data: bytes, img: np.ndarray, quality: int,
+              subsampling: str | None = None) -> dict:
+    """Quality half of the metric pair: ours vs the Pillow anchor (encoded
+    with the SAME chroma subsampling so the bpp comparison is apples-to-
+    apples; Pillow's default for color is 4:2:0)."""
     from PIL import Image
 
     from jpgenc_tpu.utils.metrics import psnr
@@ -132,7 +135,10 @@ def _psnr_bpp(data: bytes, img: np.ndarray, quality: int) -> dict:
     dec = np.asarray(Image.open(_io.BytesIO(data)).convert(
         "RGB" if img.ndim == 3 else "L"))
     buf = _io.BytesIO()
-    Image.fromarray(img).save(buf, "JPEG", quality=quality)
+    kw = {}
+    if subsampling is not None and img.ndim == 3:
+        kw["subsampling"] = {"444": 0, "422": 1, "420": 2}[subsampling]
+    Image.fromarray(img).save(buf, "JPEG", quality=quality, **kw)
     anchor = buf.getvalue()
     adec = np.asarray(Image.open(_io.BytesIO(anchor)).convert(
         "RGB" if img.ndim == 3 else "L"))
@@ -221,12 +227,18 @@ def main() -> None:
         return row
 
 
-    # ---- config :9 — quality sweep + restart intervals -------------------
+    # ---- config :9 — FULL quality sweep (Q=10..95) + restart intervals ---
+    # the PSNR-vs-bpp rate-distortion curve (SURVEY.md 408-410) needs >= 5
+    # points; per-quality executables cache, and Q75 reuses the DRI layout's
+    # plan, so the marginal cost per point is one entropy-LUT recompile
     def c9():
         sweep = {}
         rlayout = make_layout(H, W, "420", 120)
-        for q in (50, 95):
-            if not budget_left() and sweep:
+        # sweep order puts the contract-critical endpoints first so a budget
+        # cut still leaves a usable curve
+        for q in (50, 95, 10, 75, 25, 90):
+            if not budget_left() and len(sweep) >= 2:
+                _log(f"c9 sweep truncated at {len(sweep)} points (budget)")
                 break
             rplan, rfns, rqt_host, rqt_dev, rtabs, rluts = _pipeline_fns(
                 rlayout, q, B, mesh)
@@ -331,9 +343,21 @@ def main() -> None:
             decode_one(outs[i])
         row["single_mpix_per_s"] = round(H * W / 1e6
                                          / ((time.perf_counter() - t0) / 2), 2)
+        # single-image decode of a DRI file: restart segments decode across
+        # C++ threads (segment-parallel — the decode twin of the stripe
+        # encoder). The no-DRI single row above is one segment = serial.
+        from jpgenc_tpu.api import encode as encode_one
+        dri_file = encode_one(frames[0], quality=75, restart_interval=8)
+        decode_one(dri_file)                                # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(3):
+            decode_one(dri_file)
+        row["single_dri_mpix_per_s"] = round(
+            H * W / 1e6 / ((time.perf_counter() - t0) / 3), 2)
         _log(f"decode 1080p: to_device {row['mpix_per_s']} MPix/s; "
              f"+download {row['download_mpix_per_s']}; "
-             f"single {row['single_mpix_per_s']}")
+             f"single {row['single_mpix_per_s']}; "
+             f"single+DRI(seg-parallel) {row['single_dri_mpix_per_s']}")
         return row
 
 
@@ -377,13 +401,57 @@ def main() -> None:
              f"bpp {iq['bpp']} (pillow {iq['pillow_bpp']})")
         return row
 
+    # ---- 4:2:2 / 4:4:4 throughput rows (BASELINE.json:8 covers all three
+    # subsampling modes; the fused K1A kernel claims 422/444 coverage —
+    # these rows convert that claim into measured numbers) ------------------
+    def _c_sub(sub):
+        slayout = make_layout(H, W, sub, 0)
+        splan, sfns, sqt_host, sqt_dev, stabs, sluts = _pipeline_fns(
+            slayout, 75, B, mesh)
+        shdr = build_headers(slayout, list(sqt_host), *stabs)
+        ssec, souts = _run_pipeline(slayout, splan, sfns, sqt_dev, sluts,
+                                    frames_dev, shdr, B, n_iter=8)
+        sq = _psnr_bpp(souts[0], frames[0], 75, subsampling=sub)
+        row = {"mpix_per_s": round(mpix / ssec, 2), **sq}
+        _log(f"c8-{sub} 1080p {sub} Q75: {row['mpix_per_s']} MPix/s; "
+             f"bpp {sq['bpp']} psnr {sq['psnr_db']}")
+        return row
+
     _config("qsweep_dri", c9)        # 0 MB (reuses frames_dev)
+    _config("1080p_422_q75", lambda: _c_sub("422"))   # 0 MB
+    _config("1080p_444_q75", lambda: _c_sub("444"))   # 0 MB
     _config("1080p_islow_q75", c_islow)   # 0 MB (reuses frames_dev)
     _config("gray512_q75", c7)       # ~17 MB
     _config("4k_optimized", c10)     # ~75 MB
     _config("decode_1080p", cdec)    # ~150 MB (coefficient uploads)
     _config("e2e_upload", c8_e2e)    # ~300 MB
     _config("batch_sharded", c11)    # ~300 MB
+
+    # roofline-style cost model per benched layout (SURVEY.md section 6:
+    # the bench driver exposes the FLOPs/bytes accounting)
+    from jpgenc_tpu.utils.profiling import flops_bytes_estimate
+    cost_model = {}
+    for name, sub, dri in (("1080p_420", "420", 0), ("1080p_422", "422", 0),
+                           ("1080p_444", "444", 0), ("1080p_420_dri120",
+                                                     "420", 120)):
+        cost_model[name] = flops_bytes_estimate(make_layout(H, W, sub, dri))
+    cost_model["gray512"] = flops_bytes_estimate(
+        make_layout(512, 512, "gray", 0))
+    cost_model["4k_420"] = flops_bytes_estimate(
+        make_layout(2160, 3840, "420", 0))
+    for name, cm in cost_model.items():
+        _log(f"cost model {name}: {cm}")
+
+    # committed scaling evidence (SCALING.json is generated by
+    # scripts/scaling_report.py on the virtual CPU mesh + the 2-process
+    # job — this box has one physical chip, so the curve cannot be
+    # measured here; see BASELINE.md scaling target)
+    scaling = None
+    spath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "SCALING.json")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            scaling = json.load(f)
 
     print(json.dumps({
         "metric": "MPix/s/chip baseline JPEG encode @ Q=75 (1080p RGB 4:2:0, "
@@ -394,6 +462,8 @@ def main() -> None:
         "vs_baseline": round(headline / TARGET_MPIX_S, 4),
         "backend": jax.devices()[0].platform,
         "configs": configs,
+        "cost_model": cost_model,
+        "scaling": scaling,
     }))
 
 
