@@ -218,15 +218,17 @@ static int64_t decode_segment_range(
 }
 
 // Thread count for a segment-parallel decode: capped by the hardware, the
-// segment count, and the useful work (threads only pay off with >= ~64 KB
-// of scan bytes each).
+// segment count, and the useful work. Spawn+join costs ~1 ms/thread on
+// this class of host while serial decode runs ~60-70 MB/s, so threads only
+// pay off with >= ~512 KB of scan bytes each (measured: auto-threading a
+// 70 KB 1080p Q75 scan was a 4x LOSS; a 1.9 MB noisy scan a 2.2x win).
 static int pick_threads(int n_threads, int n_segments, int64_t data_len) {
     if (n_threads <= 0) {
         unsigned hc = std::thread::hardware_concurrency();
         n_threads = hc ? (int)hc : 1;
     }
     if (n_threads > n_segments) n_threads = n_segments;
-    int64_t by_bytes = data_len / 65536 + 1;
+    int64_t by_bytes = data_len / (512 << 10) + 1;
     if (n_threads > by_bytes) n_threads = (int)by_bytes;
     return n_threads < 1 ? 1 : n_threads;
 }
@@ -557,24 +559,33 @@ int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
             int64_t bytes = 0;
             for (int s = bounds[t]; s < bounds[t + 1]; ++s)
                 bytes += segs[s].end - segs[s].start;
-            // well-formed data costs >= 2 bits/coefficient (same heuristic
-            // as the Python-side cap), bounded by the range's block slots
-            int64_t hint = 4 * bytes + 8 +
-                           128 * (bounds[t + 1] - bounds[t]);
+            // WORKER-LOCAL vectors: the elements of the shared outer
+            // vectors are 24-byte headers packed into the same cache
+            // lines, and push_back stores to the header — false sharing
+            // on every emitted coefficient (measured 5x slowdown).
+            // Reserve for the TYPICAL density (~4 bits/coefficient), not
+            // the 2-bit worst-case cap (whose page faults dwarf the
+            // decode); push_back growth handles denser content.
+            std::vector<int32_t> li;
+            std::vector<int16_t> lv;
+            int64_t hint = bytes / 2 + 64 * (bounds[t + 1] - bounds[t]) + 64;
             int64_t slots =
                 (int64_t)(bounds[t + 1] - bounds[t]) * blocks_per_segment * 64;
             if (hint > slots) hint = slots;
-            tidx[t].reserve((size_t)hint);
-            tval[t].reserve((size_t)hint);
-            rcs[t] = decode_segment_range(
+            li.reserve((size_t)hint);
+            lv.reserve((size_t)hint);
+            int64_t rc = decode_segment_range(
                 data, segs.data(), bounds[t], bounds[t + 1], n_comps,
                 scan_comp, scan_flat, n_scan, comp_dc_tab, comp_ac_tab,
                 dc, ac, blocks_per_segment,
                 [&](int64_t i, int32_t v) {
-                    tidx[t].push_back((int32_t)i);
-                    tval[t].push_back((int16_t)v);
+                    li.push_back((int32_t)i);
+                    lv.push_back((int16_t)v);
                     return true;
                 });
+            tidx[t] = std::move(li);
+            tval[t] = std::move(lv);
+            rcs[t] = rc;
         });
     }
     for (auto& w : workers) w.join();

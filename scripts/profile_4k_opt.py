@@ -50,6 +50,17 @@ def main():
     img_dev = jax.device_put(img)
     jax.block_until_ready(img_dev)
 
+    # the bench c10 shape: device-resident input
+    sec = t("encode(optimize=True) device-resident",
+            lambda: encode(img_dev, 75, optimize=True), n=3)
+    print(f"  -> {2160*3840/1e6/sec:.1f} MPix/s")
+
+    # api path stage 1: fused K1 + histogram, then the freq fetch sync
+    def p1():
+        zz_, freq_ = plan.zz_and_histogram(img_dev, qt_dev)
+        np.asarray(freq_)
+    t("pass1 zz_and_histogram + freq fetch", p1)
+
     t("upload 4K frame (24 MB)",
       lambda: jax.block_until_ready(jax.device_put(img)))
 
