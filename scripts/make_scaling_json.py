@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Generate SCALING.json — the committed scaling evidence (BASELINE.md:17).
+
+Two lanes, both on this box (no pod slice available):
+
+1. Virtual-mesh sweep: encode_batch over 1/2/4/8 virtual CPU devices via
+   scripts/scaling_report.py. Virtual devices SHARE the host's physical
+   cores, so the frames/s curve validates the sharding/collective
+   semantics and the parallel fraction of the code path, not chip scaling.
+2. A REAL 2-process jax.distributed job (the tests/_mp_worker.py harness
+   shape): times the sharded encode_batch with the cross-process blob
+   exchange included, 1 process vs 2, same 8 global devices.
+
+Run: python scripts/make_scaling_json.py   (writes /root/repo/SCALING.json)
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def virtual_mesh_sweep() -> list[dict]:
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "scaling_report.py"),
+         "--devices", "1,2,4,8", "--batch", "16", "--size", "256x384",
+         "--iters", "3"],
+        env=env, capture_output=True, text=True, timeout=900)
+    if r.returncode != 0:
+        raise RuntimeError(f"scaling_report failed:\n{r.stderr[-2000:]}")
+    return [json.loads(line) for line in r.stdout.splitlines() if line.strip()]
+
+
+_MP_WORKER = r"""
+import os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%(devs)d"
+sys.path.insert(0, %(root)r)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+from jpgenc_tpu.parallel import multihost
+if nproc > 1:
+    multihost.initialize(coordinator_address="127.0.0.1:%%d" %% port,
+                         num_processes=nproc, process_id=pid)
+from jax.sharding import Mesh
+from jpgenc_tpu.parallel.mesh import encode_batch
+rng = np.random.default_rng(5)
+imgs = np.clip(rng.normal(128, 40, (16, 128, 192, 3)), 0, 255).astype(np.uint8)
+mesh = Mesh(np.array(jax.devices()).reshape(-1), ("batch",))
+outs = encode_batch(imgs, quality=75, mesh=mesh)       # compile + warm
+t0 = time.perf_counter()
+iters = 3
+for _ in range(iters):
+    outs = encode_batch(imgs, quality=75, mesh=mesh)
+dt = (time.perf_counter() - t0) / iters
+if pid == 0:
+    print("RESULT " + str(len(imgs) / dt), flush=True)
+"""
+
+
+def two_process_lane() -> dict:
+    """frames/s of the full distributed encode_batch: 1 process (8 virtual
+    devices) vs 2 processes (4+4, real jax.distributed + blob exchange)."""
+    out: dict = {}
+    for nproc, devs in ((1, 8), (2, 4)):
+        src = _MP_WORKER % {"devs": devs, "root": ROOT}
+        port = 12398
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", src, str(p), str(nproc), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            for p in range(nproc)]
+        fps = None
+        for p, pr in enumerate(procs):
+            so, se = pr.communicate(timeout=600)
+            if pr.returncode != 0:
+                raise RuntimeError(f"worker {p} rc={pr.returncode}:\n"
+                                   f"{se[-2000:]}")
+            for line in so.splitlines():
+                if line.startswith("RESULT "):
+                    fps = float(line.split()[1])
+        key = f"{nproc}_process" + ("es" if nproc > 1 else "")
+        out[key] = {"processes": nproc, "devices_per_process": devs,
+                    "frames_per_s": round(fps, 2)}
+    r = out["2_processes"]["frames_per_s"] / out["1_process"]["frames_per_s"]
+    out["ratio_2p_over_1p"] = round(r, 3)
+    return out
+
+
+def main() -> int:
+    t0 = time.time()
+    doc = {
+        "generated": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "note": "This box has ONE physical TPU chip, so chip scaling cannot "
+                "be measured here; both lanes run the real sharding/"
+                "collective code paths on virtual CPU devices that SHARE "
+                "the host's 4 physical cores. Near-flat frames/s with the "
+                "device count (and with the 2-process split) means the "
+                "distribution layer adds no serial bottleneck — the "
+                "BASELINE.md near-linear target is then set by the chips, "
+                "which are not present to measure.",
+        "virtual_mesh": virtual_mesh_sweep(),
+        "two_process": two_process_lane(),
+    }
+    doc["elapsed_s"] = round(time.time() - t0, 1)
+    path = os.path.join(ROOT, "SCALING.json")
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(doc, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
