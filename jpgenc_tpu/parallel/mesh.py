@@ -133,11 +133,17 @@ def _fetch_scan_rows(u, nbits, ovf, cap_u: int, guess_key: tuple
     from jpgenc_tpu.engine import combined_fetch, fetch_prefix, split_fetch
     rows: dict[int, tuple] = {}
     guess = _PREFIX_GUESS.get(guess_key, 1024)       # u32 words
+    # phase 1: enqueue every shard's combined fetch (combined_fetch issues
+    # the D2H eagerly) BEFORE consuming any — shard i+1's transfer overlaps
+    # shard i's host-side unpack on multi-device meshes
+    pend = []
     for su, sn, so in zip(u.addressable_shards, nbits.addressable_shards,
                           ovf.addressable_shards):
         sl = su.index[0] if su.index else slice(None)
         start = sl.start or 0
         handle, k = combined_fetch(su.data, sn.data, so.data, guess)
+        pend.append((start, su, sn, handle, k))
+    for start, su, sn, handle, k in pend:
         up, nb, ov = split_fetch(np.asarray(handle), k, sn.data.shape[-1])
         t = int(seg_nwords_aligned(nb).sum(axis=-1).max()) if nb.size else 0
         t = min(t, cap_u // 4)
