@@ -86,12 +86,16 @@ def w_blk_for_quality(quality: int) -> int:
     Overflow escalates through the capacity ladder (api.encode: 24-word safe
     tier, then the 56-word worst tier that covers MAX_BLOCK_BITS and can
     never overflow).
+
+    High qualities use 24 — the largest tier the fused K1A kernel accepts
+    (k1a_applicable): staying on the single-kernel pixels->packed path
+    beats a roomier split-path tier (measured 1080p DRI120: Q85 719 vs 537
+    MPix/s, Q95 485 vs 400; Q90 is the one mild exception, 495 vs 544).
+    Pathological content overflows to the ladder's bigger tiers as before.
     """
     if quality <= 80:
         return 8
-    if quality <= 92:
-        return 32
-    return 56
+    return 24
 
 
 def block_pack(piece_val: jnp.ndarray, piece_len: jnp.ndarray,
