@@ -238,12 +238,127 @@ def scan_pairs(parsed: ParsedJpeg, layout: FrameLayout, n_threads: int = 0
     return nz.astype(np.int64), blocks.reshape(-1)[nz].astype(np.int16)
 
 
+def scan_packed(parsed: ParsedJpeg, layout: FrameLayout
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Entropy-decode the scan to the packed 2-byte-per-coefficient form
+    (native.decode_scan_packed). Returns None when the native library is
+    unavailable, the capacity heuristic overflows, or table ids fall
+    outside the native range — callers fall back to `scan_pairs`."""
+    comp_dc = [c.dc_tab for c in parsed.comps]
+    comp_ac = [c.ac_tab for c in parsed.comps]
+    if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac) \
+            and all(t in parsed.dc_tables for t in comp_dc) \
+            and all(t in parsed.ac_tables for t in comp_ac):
+        return native.decode_scan_packed(
+            parsed.scan_data, layout, comp_dc, comp_ac,
+            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables))
+    return None
+
+
 def _densify(sparse, n_total: int):
     """[3, cap] int16 sparse rows -> [n_total, 64] int16 blocks on device."""
     idx = (sparse[0].astype(jnp.int32) & 0xFFFF) | \
         (sparse[1].astype(jnp.int32) << 16)
     flat = jnp.zeros((n_total * 64,), jnp.int16)
     return flat.at[idx].set(sparse[2], mode="drop").reshape(n_total, 64)
+
+
+def _densify_packed(main_u8, exc, scan_flat_ext, n_total: int):
+    """Packed 2-byte (delta, val_s8) stream + [3, cap] exception rows ->
+    [n_total, 64] int16 blocks on device (see native.decode_scan_packed).
+
+    The delta chain lives in SCAN-POSITION space (pos = cumsum(delta) - 1;
+    strictly monotonic even for interleaved color, where flat indices jump
+    between component regions); the device maps pos -> flat via the static
+    per-layout scan table, extended with an out-of-bounds sentinel so pad
+    hops past the scan drop out of the scatter. Phantom hops write 0 into
+    positions that are zero anyway; exceptions scatter second, overwriting
+    their escape bytes."""
+    pos = jnp.cumsum(main_u8[:, 0].astype(jnp.int32)) - 1
+    val = jax.lax.bitcast_convert_type(main_u8[:, 1],
+                                       jnp.int8).astype(jnp.int16)
+    j = jnp.minimum(pos >> 6, scan_flat_ext.shape[0] - 1)
+    idx = scan_flat_ext[j] * 64 + (pos & 63)
+    flat = jnp.zeros((n_total * 64,), jnp.int16)
+    flat = flat.at[idx].set(val, mode="drop")
+    eidx = (exc[0].astype(jnp.int32) & 0xFFFF) | \
+        (exc[1].astype(jnp.int32) << 16)
+    return flat.at[eidx].set(exc[2], mode="drop").reshape(n_total, 64)
+
+
+def _pad_packed(main: np.ndarray, eidx: np.ndarray, evals: np.ndarray,
+                cap_main: int, cap_exc: int, size: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Pad the native packed stream to the (cap_main, cap_exc) buckets:
+    main pads are (255, 0) phantoms (keep walking the tail, writing zeros
+    into zero positions until the index leaves the array and drops);
+    exception pads carry an out-of-bounds index."""
+    n = main.shape[0]
+    out = np.empty((cap_main, 2), np.uint8)
+    out[:n] = main
+    out[n:, 0] = 255
+    out[n:, 1] = 0
+    return out, _rows_from_pairs(eidx.astype(np.int64), evals, size, cap_exc)
+
+
+def _exc_cap(n: int) -> int:
+    """Power-of-2 exception-list capacity bucket (min 256)."""
+    return max(256, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+def _eighth_cap(n: int) -> int:
+    """Capacity bucket at 1/8-power-of-2 granularity (waste <= 12.5% —
+    the chunk-flat packed stream is upload-bytes-bound, so the plain
+    power-of-2 bucket's up-to-2x padding is real link time)."""
+    n = max(n, 4096)
+    p = 1 << max(0, int(np.ceil(np.log2(n))) - 3)
+    return -(-n // p) * p
+
+
+def _flatten_packed(packed: list, n_scan64: int, n64: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate per-frame packed streams into ONE chunk-flat stream in
+    GLOBAL scan-position space (frame f's positions live at
+    [f*n_scan64, (f+1)*n_scan64)): frame boundaries are bridged by
+    adjusting each frame's first delta and inserting (255, 0) phantom hops
+    for gaps > 255 — phantoms only ever write zeros into trailing/leading
+    zero positions, so the chunk decodes with a single exact-size upload
+    and ONE scatter instead of per-frame cap-padded buffers. Returns the
+    unpadded (main [n, 2] u8, exception global flat idx i64, exception
+    values i16); pad with `_pad_packed(..., size=B*n64)`."""
+    parts = []
+    exc_idx_parts, exc_val_parts = [], []
+    prev = -1                     # last written global pos
+    for f, (main, eidx, evals) in enumerate(packed):
+        base = f * n_scan64
+        if main.shape[0]:
+            first = base + int(main[0, 0]) - 1     # global pos of 1st entry
+            last = base + int(main[:, 0].astype(np.int64).sum()) - 1
+            gap = first - prev
+            k = (gap - 1) // 255                   # bridge phantom hops
+            if k:
+                ph = np.zeros((k, 2), np.uint8)
+                ph[:, 0] = 255
+                parts.append(ph)
+            if k or f:
+                main = main.copy()
+                main[0, 0] = gap - 255 * k
+            parts.append(main)
+            prev = last
+        if eidx.size:
+            exc_idx_parts.append(eidx.astype(np.int64) + f * n64)
+            exc_val_parts.append(evals)
+    main_all = np.concatenate(parts) if parts else np.zeros((0, 2), np.uint8)
+    eidx = (np.concatenate(exc_idx_parts) if exc_idx_parts
+            else np.zeros(0, np.int64))
+    evals = (np.concatenate(exc_val_parts) if exc_val_parts
+             else np.zeros(0, np.int16))
+    return main_all, eidx, evals
+
+
+def _packed_wins(cap_main: int, cap_exc: int, n64: int) -> bool:
+    """True when the packed upload beats the dense int16 tensor."""
+    return 2 * cap_main + 6 * cap_exc < 2 * n64
 
 
 def pixel_fn(layout: FrameLayout):
@@ -277,7 +392,8 @@ def pixel_fn(layout: FrameLayout):
     return _pix
 
 
-def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False):
+def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
+               form: str | None = None):
     """One jitted blocks->pixels pipeline per layout geometry (the whole
     reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
     single device dispatch instead of per-component un-jitted helpers).
@@ -286,19 +402,60 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False):
     true image size ON DEVICE (static slice) so the MCU padding rows never
     cross the link.
 
-    sparse=True takes [3, cap] int16 sparse coefficient rows (see
-    `_sparsify`) and densifies on device in the SAME dispatch — the
-    host->device link only carries the nonzeros."""
-    key = (layout.height, layout.width, layout.subsampling, batch, sparse)
+    form selects the coefficient upload layout, densified on device in the
+    SAME dispatch (the host->device link is the decode bottleneck):
+    - "dense": [n_total, 64] int16 blocks
+    - "pairs" (or sparse=True): [3, cap] int16 rows (`_sparsify`)
+    - "packed": ([cap, 2] u8 (delta, val_s8) stream, [3, cap_exc] int16
+      exception rows) — see `_densify_packed`, 2 bytes/coefficient
+    """
+    if form is None:
+        form = "pairs" if sparse else "dense"
+    key = (layout.height, layout.width, layout.subsampling, batch, form)
     fn = _RECON.get(key)
     if fn is not None:
         return fn
     n_total = sum(c.n_blocks for c in layout.comps)
     _pix = pixel_fn(layout)
 
-    if sparse:
+    if form in ("packed", "packedflat"):
+        # static per-layout scan table + OOB sentinel, baked into the
+        # executable as a constant (never crosses the link per call)
+        sf_ext = jnp.asarray(np.append(
+            np.asarray(layout.scan_flat, np.int64), n_total).astype(np.int32))
+
+    if form == "pairs":
         def _fn(sp, qts):
             return _pix(_densify(sp, n_total), qts)
+    elif form == "packed":
+        def _fn(main, exc, qts):
+            return _pix(_densify_packed(main, exc, sf_ext, n_total), qts)
+    elif form == "packedflat":
+        # one chunk-flat stream for the WHOLE batch (see _flatten_packed):
+        # a single exact-size upload + one scatter into [B*n64], then the
+        # vmapped per-frame reconstruction. Not vmapped over main/exc.
+        n_scan64 = layout.n_scan * 64
+        B = batch
+
+        def _flat_fn(main, exc, qts):
+            pos = jnp.cumsum(main[:, 0].astype(jnp.int32)) - 1
+            frame = pos // n_scan64
+            j = pos - frame * n_scan64
+            val = jax.lax.bitcast_convert_type(main[:, 1],
+                                               jnp.int8).astype(jnp.int16)
+            idx = frame * (n_total * 64) + \
+                sf_ext[jnp.minimum(j >> 6, sf_ext.shape[0] - 1)] * 64 + \
+                (j & 63)
+            flat = jnp.zeros((B * n_total * 64,), jnp.int16)
+            flat = flat.at[idx].set(val, mode="drop")
+            eidx = (exc[0].astype(jnp.int32) & 0xFFFF) | \
+                (exc[1].astype(jnp.int32) << 16)
+            flat = flat.at[eidx].set(exc[2], mode="drop")
+            return jax.vmap(_pix)(flat.reshape(B, n_total, 64), qts)
+
+        fn = jax.jit(_flat_fn)
+        _RECON[key] = fn
+        return fn
     else:
         _fn = _pix
 
@@ -387,9 +544,37 @@ def decode(data: bytes, to_device: bool = False):
 
     to_device=True keeps the decoded pixels in HBM (returns a jax.Array)
     instead of downloading — for feeding device-side input pipelines.
+
+    Coefficients cross the host->device link (the decode bottleneck) in
+    the smallest available form: packed 2-byte (delta, val) stream when
+    the native decoder is available and it beats dense, else sparse pairs,
+    else dense.
     """
     parsed = parse_jpeg(data)
     layout = layout_from_parsed(parsed)
+    n64 = sum(c.n_blocks for c in layout.comps) * 64
+    pk = scan_packed(parsed, layout)
+    if pk is not None:
+        main, eidx, evals = pk
+        qts = [jnp.asarray(np.asarray(q).reshape(64).astype(np.int32))
+               for q in _qts_of(parsed)]
+        cap_m, cap_e = _sparse_cap(main.shape[0]), _exc_cap(eidx.size)
+        if _packed_wins(cap_m, cap_e, n64):
+            mp, exc = _pad_packed(main, eidx, evals, cap_m, cap_e, n64)
+            out = _recon_jit(layout, form="packed")(
+                jnp.asarray(mp), jnp.asarray(exc), qts)
+        else:
+            # pathological dense content: unpack on host (no second
+            # entropy decode) and upload the dense tensor
+            n_total = n64 // 64
+            pos = np.cumsum(main[:, 0].astype(np.int64)) - 1
+            sf = np.asarray(layout.scan_flat, np.int64)
+            dense = np.zeros(n64, np.int16)
+            dense[sf[pos >> 6] * 64 + (pos & 63)] = main[:, 1].view(np.int8)
+            dense[eidx] = evals
+            out = _recon_jit(layout)(
+                jnp.asarray(dense.reshape(n_total, 64)), qts)
+        return out if to_device else np.asarray(out)
     idx, val = scan_pairs(parsed, layout)
     return _recon_from_pairs(layout, idx, val, _qts_of(parsed),
                              to_device=to_device)
@@ -443,37 +628,60 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
     nth = 1 if len(parsed) > 1 else 0
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
-        pairs = list(ex.map(
-            lambda p: scan_pairs(p, layout, n_threads=nth), parsed))
+        packed = list(ex.map(lambda p: scan_packed(p, layout), parsed))
 
     qts_b = [[np.asarray(q).reshape(64).astype(np.int32)
               for q in _qts_of(p)] for p in parsed]
     n_comps = len(parsed[0].comps)
-    # shared power-of-2 cap across the batch -> one executable per chunk size
+    # shared power-of-2 caps across the batch -> one executable per chunk
+    # size; the packed 2-byte form is preferred, pairs/dense the fallbacks
     n_total = sum(c.n_blocks for c in layout.comps)
     n64 = n_total * 64
-    nnz_max = max(i.size for i, _ in pairs)
-    cap = _sparse_cap(nnz_max)
-    sparse = _sparse_wins(cap, n64)
     b = len(datas)
     if chunk is None or chunk >= b:
         chunk = b
+    n_scan64 = layout.n_scan * 64
+
+    use_packed = (all(p is not None for p in packed)
+                  and chunk * n_scan64 < 2**31)   # int32 global pos space
+    flats = None
+    if use_packed:
+        # chunk-flat streams: exact-size upload + ONE scatter per chunk
+        # (per-frame cap buckets waste up to 2x of the link — measured)
+        flats = [_flatten_packed(packed[c0:c0 + chunk], n_scan64, n64)
+                 for c0 in range(0, b, chunk)]
+        cap_m = _eighth_cap(max(m.shape[0] for m, _, _ in flats))
+        cap_e = _exc_cap(max(e.size for _, e, _ in flats))
+        use_packed = _packed_wins(cap_m, cap_e, chunk * n64)
+    if not use_packed:
+        with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
+            pairs = list(ex.map(
+                lambda p: scan_pairs(p, layout, n_threads=nth), parsed))
+        nnz_max = max(i.size for i, _ in pairs)
+        cap = _sparse_cap(nnz_max)
+        sparse = _sparse_wins(cap, n64)
 
     outs_d = []
-    for c0 in range(0, b, chunk):
-        rows = pairs[c0:c0 + chunk]
+    for ci, c0 in enumerate(range(0, b, chunk)):
+        nb = len(parsed[c0:c0 + chunk])
         qts = [jnp.asarray(np.stack([row[i] for row in qts_b[c0:c0 + chunk]]))
                for i in range(n_comps)]
-        if sparse:
+        if use_packed:
+            mp, exc = _pad_packed(*flats[ci], cap_m, cap_e, nb * n64)
+            outs_d.append(_recon_jit(layout, batch=nb, form="packedflat")(
+                jnp.asarray(mp), jnp.asarray(exc), qts))
+        elif sparse:
+            rows = pairs[c0:c0 + chunk]
             sp = jnp.asarray(np.stack(
                 [_rows_from_pairs(i, v, n64, cap) for i, v in rows]))
             outs_d.append(
-                _recon_jit(layout, batch=len(rows), sparse=True)(sp, qts))
+                _recon_jit(layout, batch=nb, sparse=True)(sp, qts))
         else:
+            rows = pairs[c0:c0 + chunk]
             dense = np.zeros((len(rows), n64), np.int16)
             for r, (i, v) in enumerate(rows):
                 dense[r, i] = v
-            outs_d.append(_recon_jit(layout, batch=len(rows))(
+            outs_d.append(_recon_jit(layout, batch=nb)(
                 jnp.asarray(dense.reshape(-1, n_total, 64)), qts))
     if to_device:
         return outs_d if chunked else outs_d[0]

@@ -100,6 +100,16 @@ def _load_inner():
         ctypes.c_int64, i32p, i16p,
     ]
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.decode_scan_packed.restype = ctypes.c_int64
+    lib.decode_scan_packed.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int,
+        i32p, i32p, ctypes.c_int64,
+        i32p, i32p,
+        u8p, u8p, u8p, u8p,
+        ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64,
+        u8p, i32p, i16p, i64p,
+    ]
     lib.optimize_tables.restype = ctypes.c_int
     lib.optimize_tables.argtypes = [i64p, i32p, i32p]
     LIB = lib
@@ -108,6 +118,64 @@ def _load_inner():
 
 def available() -> bool:
     return _load() is not None
+
+
+def _pack_tables(tabs):
+    """HuffTable sequence -> flat (bits [2*16], vals [2*256]) u8 rows."""
+    bits = np.zeros((2, 16), np.uint8)
+    vals = np.zeros((2, 256), np.uint8)
+    for i, t in enumerate(tabs[:2]):
+        b = np.asarray(t.bits, np.uint8)
+        v = np.asarray(t.vals, np.uint8)
+        bits[i, :b.size] = b
+        vals[i, :v.size] = v
+    if len(tabs) == 1:
+        bits[1], vals[1] = bits[0], vals[0]
+    return bits.reshape(-1), vals.reshape(-1)
+
+
+def decode_scan_packed(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
+                       dc_tables, ac_tables
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Entropy-decode a stuffed scan to the PACKED 2-byte-per-coefficient
+    form: (main [n, 2] u8 rows of (delta, val_s8), exception flat indices
+    int32, exception values int16). The minimal host->device decode upload:
+    idx = cumsum(delta) - 1; values |v| > 127 are escaped into the
+    exception list (scattered second on device, overwriting the -128
+    escape byte); gaps > 255 are bridged by harmless (255, 0) phantoms.
+    Returns None when the native library is unavailable or a capacity
+    heuristic overflows (callers fall back to the pair/dense forms)."""
+    lib = _load()
+    if lib is None:
+        return None
+    dc_bits, dc_vals = _pack_tables(dc_tables)
+    ac_bits, ac_vals = _pack_tables(ac_tables)
+    data = np.frombuffer(scan_data, np.uint8)
+    # nonzeros bound (>= 2 bits each) + malformed-padding slack + phantom
+    # bound (one per 255 scan positions — the delta chain lives in scan-
+    # position space)
+    cap_main = 4 * data.size + 8 + 128 * layout.n_segments \
+        + layout.n_scan * 64 // 255 + 8
+    cap_exc = 2 * data.size + 8 + 128 * layout.n_segments
+    main = np.empty(cap_main * 2, np.uint8)
+    eidx = np.empty(cap_exc, np.int32)
+    eval_ = np.empty(cap_exc, np.int16)
+    n_exc = np.zeros(1, np.int64)
+    n = lib.decode_scan_packed(
+        data, data.size, len(layout.comps),
+        np.ascontiguousarray(layout.scan_comp, np.int32),
+        np.ascontiguousarray(layout.scan_flat, np.int32),
+        layout.n_scan,
+        np.asarray(comp_dc_tab, np.int32), np.asarray(comp_ac_tab, np.int32),
+        dc_bits, dc_vals, ac_bits, ac_vals,
+        layout.blocks_per_segment, layout.n_segments,
+        cap_main, cap_exc, main, eidx, eval_, n_exc)
+    if n == -9:
+        return None          # capacity heuristic exceeded: pair fallback
+    if n < 0:
+        raise ValueError(f"native scan decode failed (code {n})")
+    ne = int(n_exc[0])
+    return main[:2 * n].reshape(n, 2), eidx[:ne], eval_[:ne]
 
 
 def decode_scan(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,

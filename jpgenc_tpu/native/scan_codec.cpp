@@ -166,10 +166,13 @@ static bool find_segments(const uint8_t* data, int64_t data_len,
 // Per-segment-range Huffman block loop. Restart segments are independent by
 // construction (DC predictors reset, byte-aligned starts — T.81 F.1.2.3), so
 // disjoint ranges can decode concurrently: the same property the stripe
-// ENCODER builds on (SURVEY.md hard part 5). `emit(flat_coef_index, value)`
-// receives every NONZERO coefficient (the dense output buffer is pre-zeroed,
-// so skipping zero DC is equivalent); returning false aborts with -9
-// (capacity exceeded).
+// ENCODER builds on (SURVEY.md hard part 5). `emit(pos, flat_coef_index,
+// value)` receives every NONZERO coefficient (the dense output buffer is
+// pre-zeroed, so skipping zero DC is equivalent); `pos` = j*64+k is the
+// coefficient's SCAN position — strictly increasing across the walk even
+// for interleaved color, where the flat index jumps between component
+// regions (the packed delta form needs a monotonic space). Returning false
+// aborts with -9 (capacity exceeded).
 template <typename Emit>
 static int64_t decode_segment_range(
         const uint8_t* data, const SegBounds* segs, int s0, int s1,
@@ -190,13 +193,14 @@ static int64_t decode_segment_range(
             int ci = scan_comp[j];
             if (ci < 0 || ci >= n_comps || ci >= 4) return -2;
             int64_t base = (int64_t)scan_flat[j] * 64;
+            int64_t pos = j * 64;
             const HuffDecoder& hdc = dc[comp_dc_tab[ci]];
             const HuffDecoder& hac = ac[comp_ac_tab[ci]];
 
             int ssss = br.decode(hdc);
             if (br.bad || ssss > 11) return -3;
             pred[ci] += extend(br.get(ssss), ssss);
-            if (pred[ci] != 0 && !emit(base, pred[ci])) return -9;
+            if (pred[ci] != 0 && !emit(pos, base, pred[ci])) return -9;
 
             int k = 1;
             while (k < 64) {
@@ -209,7 +213,8 @@ static int64_t decode_segment_range(
                 }
                 k += r;
                 if (k > 63) return -5;
-                if (!emit(base + k, extend(br.get(sz), sz))) return -9;
+                if (!emit(pos + k, base + k, extend(br.get(sz), sz)))
+                    return -9;
                 ++k;
             }
         }
@@ -306,7 +311,7 @@ int decode_scan(const uint8_t* data, int64_t data_len,
                              data, data_len, n_segments, dc, ac, segs);
     if (rc) return rc;
 
-    auto emit = [&](int64_t i, int32_t v) { out[i] = v; return true; };
+    auto emit = [&](int64_t, int64_t i, int32_t v) { out[i] = v; return true; };
     int nt = pick_threads(n_threads, n_segments, data_len);
     if (nt <= 1)
         return (int)decode_segment_range(
@@ -538,7 +543,7 @@ int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
         int64_t rc = decode_segment_range(
             data, segs.data(), 0, n_segments, n_comps, scan_comp, scan_flat,
             n_scan, comp_dc_tab, comp_ac_tab, dc, ac, blocks_per_segment,
-            [&](int64_t i, int32_t v) {
+            [&](int64_t, int64_t i, int32_t v) {
                 if (n >= cap) return false;
                 idx_out[n] = (int32_t)i;
                 val_out[n++] = (int16_t)v;
@@ -578,7 +583,7 @@ int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
                 data, segs.data(), bounds[t], bounds[t + 1], n_comps,
                 scan_comp, scan_flat, n_scan, comp_dc_tab, comp_ac_tab,
                 dc, ac, blocks_per_segment,
-                [&](int64_t i, int32_t v) {
+                [&](int64_t, int64_t i, int32_t v) {
                     li.push_back((int32_t)i);
                     lv.push_back((int16_t)v);
                     return true;
@@ -604,6 +609,79 @@ int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
             o += (int64_t)tidx[t].size();
         }
     }
+    return n;
+}
+
+// Packed variant: emit the nonzero coefficients as a 2-byte-per-entry
+// (delta u8, value s8) stream plus a small exception list — the MINIMAL
+// host->device form (the H2D link is the decode bottleneck: ~30 ms flat +
+// ~60 MB/s on the dev tunnel; this is 3x smaller than the (idx,val) pair
+// rows). Semantics, reconstructed on device by decoder._densify_packed:
+//   idx = cumsum(delta) - 1;  flat[idx] = value   (strictly increasing idx)
+// - a gap > 255 between nonzeros is bridged by PHANTOM entries
+//   (delta=255, value=0): they write 0 into positions inside the gap,
+//   which are zero anyway — harmless by construction;
+// - |value| > 127 emits value as the entry's sign-preserved clamp escape
+//   (-128) AND appends (flat idx, true value) to the exception list; the
+//   device scatters exceptions AFTER the main stream, overwriting the
+//   escape byte. Trailing pad entries use the same phantom form.
+// Serial only (callers parallelize across images; the delta chain is
+// global so thread-range concatenation would need bridging).
+// Returns packed entry count; n_exc_out gets the exception count; -9 when
+// either capacity is exceeded (caller falls back to the pair form); other
+// negative codes as decode_scan.
+int64_t decode_scan_packed(const uint8_t* data, int64_t data_len,
+                           int n_comps,
+                           const int32_t* scan_comp, const int32_t* scan_flat,
+                           int64_t n_scan,
+                           const int32_t* comp_dc_tab,
+                           const int32_t* comp_ac_tab,
+                           const uint8_t* dc_bits, const uint8_t* dc_vals,
+                           const uint8_t* ac_bits, const uint8_t* ac_vals,
+                           int64_t blocks_per_segment, int n_segments,
+                           int64_t cap_main, int64_t cap_exc,
+                           uint8_t* main_out /*[cap_main*2]*/,
+                           int32_t* exc_idx, int16_t* exc_val,
+                           int64_t* n_exc_out) {
+    HuffDecoder dc[2], ac[2];
+    std::vector<SegBounds> segs;
+    int prc = decode_prologue(n_comps, comp_dc_tab, comp_ac_tab,
+                              dc_bits, dc_vals, ac_bits, ac_vals,
+                              data, data_len, n_segments, dc, ac, segs);
+    if (prc) return prc;
+
+    int64_t n = 0, ne = 0, prev = -1;
+    bool overflow = false;
+    int64_t rc = decode_segment_range(
+        data, segs.data(), 0, n_segments, n_comps, scan_comp, scan_flat,
+        n_scan, comp_dc_tab, comp_ac_tab, dc, ac, blocks_per_segment,
+        [&](int64_t pos, int64_t i, int32_t v) {
+            int64_t gap = pos - prev;
+            while (gap > 255) {           // phantom hops across the gap
+                if (n >= cap_main) { overflow = true; return false; }
+                main_out[2 * n] = 255;
+                main_out[2 * n + 1] = 0;
+                ++n;
+                gap -= 255;
+            }
+            if (n >= cap_main) { overflow = true; return false; }
+            main_out[2 * n] = (uint8_t)gap;
+            if (v >= -127 && v <= 127) {
+                main_out[2 * n + 1] = (uint8_t)(int8_t)v;
+            } else {
+                main_out[2 * n + 1] = (uint8_t)(int8_t)(-128);
+                if (ne >= cap_exc) { overflow = true; return false; }
+                exc_idx[ne] = (int32_t)i;
+                exc_val[ne] = (int16_t)v;
+                ++ne;
+            }
+            ++n;
+            prev = pos;
+            return true;
+        });
+    if (overflow) return -9;
+    if (rc) return rc;
+    *n_exc_out = ne;
     return n;
 }
 

@@ -178,3 +178,104 @@ def test_threaded_decode_rejects_truncated_stream(rgb_image):
     parsed.scan_data = parsed.scan_data[:len(parsed.scan_data) // 3]
     with pytest.raises(ValueError):
         decode_scan_to_blocks(parsed, layout, n_threads=4)
+
+
+class TestPackedDecode:
+    """native.decode_scan_packed + decoder._densify_packed: the 2-byte
+    (delta, val_s8) coefficient upload form must reproduce exactly what the
+    pair/dense forms decode, including value escapes (|v| > 127) and
+    phantom hops (gaps > 255)."""
+
+    @staticmethod
+    def _unpack_host(main, eidx, evals, layout, n64):
+        """NumPy reference of decoder._densify_packed: the delta chain is
+        in SCAN-POSITION space; pos -> flat via the layout's scan table."""
+        pos = np.cumsum(main[:, 0].astype(np.int64)) - 1
+        val = main[:, 1].view(np.int8).astype(np.int32)
+        sf = np.asarray(layout.scan_flat, np.int64)
+        ok = pos < sf.size * 64
+        idx = sf[pos[ok] >> 6] * 64 + (pos[ok] & 63)
+        dense = np.zeros(n64, np.int32)
+        dense[idx] = val[ok]
+        dense[eidx] = evals
+        return dense
+
+    def _roundtrip(self, img, **kw):
+        from jpgenc_tpu.decoder import (decode_scan_to_blocks,
+                                        layout_from_parsed, scan_packed)
+        data = encode(img, **kw)
+        parsed = parse_jpeg(data)
+        layout = layout_from_parsed(parsed)
+        pk = scan_packed(parsed, layout)
+        assert pk is not None
+        dense = decode_scan_to_blocks(parsed, layout).reshape(-1)
+        got = self._unpack_host(*pk, layout, dense.size)
+        np.testing.assert_array_equal(got, dense)
+        return pk
+
+    def test_packed_matches_dense_color_dri(self, rgb_image):
+        self._roundtrip(rgb_image, quality=80, subsampling="420",
+                        restart_interval=2)
+
+    def test_packed_escapes(self, rng):
+        """High-contrast content at Q95 produces |v| > 127 coefficients."""
+        img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+        pk = self._roundtrip(img, quality=95)
+        assert pk[1].size > 0, "expected value escapes in noise at Q95"
+
+    def test_packed_phantoms(self, rng):
+        """A flat mid-gray image (DC = 0 everywhere) with two bright dots:
+        runs of all-zero blocks make scan-position gaps > 255 (phantom
+        hops)."""
+        img = np.full((128, 128), 128, np.uint8)
+        img[8, 8] = img[100, 100] = 255
+        pk = self._roundtrip(img, quality=50)
+        assert (pk[0][:, 0] == 255).any(), "expected phantom hops"
+
+    def test_packed_device_decode_matches(self, rgb_image, gray_image):
+        """Full decode() (packed device path) == dense-forced decode."""
+        import jpgenc_tpu.decoder as D
+        for img, kw in ((rgb_image, dict(quality=92, subsampling="422")),
+                        (gray_image, dict(quality=75, restart_interval=4))):
+            data = encode(img, **kw)
+            got = D.decode(data)
+            orig = native.available
+            try:
+                native.available = lambda: False     # python dense path
+                ref = D.decode(data)
+            finally:
+                native.available = orig
+            np.testing.assert_array_equal(got, ref)
+
+    def test_packed_batch_matches_single(self, rng):
+        from jpgenc_tpu.decoder import decode, decode_batch
+        imgs = [rng.integers(0, 256, (48, 64, 3), np.uint8)
+                for _ in range(5)]
+        files = [encode(i, quality=85) for i in imgs]
+        got = decode_batch(files, chunk=2)
+        for g, f in zip(got, files):
+            np.testing.assert_array_equal(g, decode(f))
+
+    def test_packed_flat_bridging(self, rng):
+        """Chunk-flat stream: frames with empty/sparse coefficient streams
+        (flat gray = all-zero) between dense frames exercise the bridge
+        phantoms across whole frames."""
+        from jpgenc_tpu.decoder import decode, decode_batch
+        imgs = [np.full((48, 64, 3), 128, np.uint8),      # empty stream
+                rng.integers(0, 256, (48, 64, 3), np.uint8),
+                np.full((48, 64, 3), 128, np.uint8),
+                rng.integers(0, 256, (48, 64, 3), np.uint8)]
+        files = [encode(i, quality=75) for i in imgs]
+        got = decode_batch(files, chunk=4)
+        for g, f in zip(got, files):
+            np.testing.assert_array_equal(g, decode(f))
+
+    def test_packed_dense_fallback(self, rgb_image, monkeypatch):
+        """When packed loses to dense (pathological content), decode()
+        host-unpacks the packed stream instead of entropy-decoding twice —
+        pixels must be identical."""
+        import jpgenc_tpu.decoder as D
+        data = encode(rgb_image, quality=90, restart_interval=3)
+        ref = D.decode(data)
+        monkeypatch.setattr(D, "_packed_wins", lambda *a: False)
+        np.testing.assert_array_equal(D.decode(data), ref)
