@@ -274,13 +274,20 @@ def _densify_packed(main_u8, exc, scan_flat_ext, n_total: int):
     hops past the scan drop out of the scatter. Phantom hops write 0 into
     positions that are zero anyway; exceptions scatter second, overwriting
     their escape bytes."""
+    # The main scatter is an ADD, not a set: trailing (255, 0) pad hops can
+    # overflow the int32 position cumsum for multi-M-entry streams, and a
+    # wrapped position may land back IN range — but every pad/phantom
+    # carries value 0, so adding it anywhere is a no-op, while real
+    # positions are strictly increasing (guarded < 2^31) and unique, where
+    # add == set. Exceptions scatter SECOND with .set, overwriting their
+    # -128 escape bytes.
     pos = jnp.cumsum(main_u8[:, 0].astype(jnp.int32)) - 1
     val = jax.lax.bitcast_convert_type(main_u8[:, 1],
                                        jnp.int8).astype(jnp.int16)
-    j = jnp.minimum(pos >> 6, scan_flat_ext.shape[0] - 1)
+    j = jnp.clip(pos >> 6, 0, scan_flat_ext.shape[0] - 1)
     idx = scan_flat_ext[j] * 64 + (pos & 63)
     flat = jnp.zeros((n_total * 64,), jnp.int16)
-    flat = flat.at[idx].set(val, mode="drop")
+    flat = flat.at[idx].add(val, mode="drop")
     eidx = (exc[0].astype(jnp.int32) & 0xFFFF) | \
         (exc[1].astype(jnp.int32) << 16)
     return flat.at[eidx].set(exc[2], mode="drop").reshape(n_total, 64)
@@ -438,16 +445,19 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
         B = batch
 
         def _flat_fn(main, exc, qts):
+            # main scatter is an ADD for pad-hop int32-wrap safety (see
+            # _densify_packed): pads carry value 0, so a wrapped position
+            # adds nothing; real positions are unique (add == set)
             pos = jnp.cumsum(main[:, 0].astype(jnp.int32)) - 1
             frame = pos // n_scan64
-            j = pos - frame * n_scan64
+            j = jnp.clip(pos - frame * n_scan64, 0, n_scan64 - 1)
             val = jax.lax.bitcast_convert_type(main[:, 1],
                                                jnp.int8).astype(jnp.int16)
             idx = frame * (n_total * 64) + \
                 sf_ext[jnp.minimum(j >> 6, sf_ext.shape[0] - 1)] * 64 + \
                 (j & 63)
             flat = jnp.zeros((B * n_total * 64,), jnp.int16)
-            flat = flat.at[idx].set(val, mode="drop")
+            flat = flat.at[idx].add(val, mode="drop")
             eidx = (exc[0].astype(jnp.int32) & 0xFFFF) | \
                 (exc[1].astype(jnp.int32) << 16)
             flat = flat.at[eidx].set(exc[2], mode="drop")
@@ -642,8 +652,9 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
         chunk = b
     n_scan64 = layout.n_scan * 64
 
+    # +1: the clamped pad frame B must still index below 2^31
     use_packed = (all(p is not None for p in packed)
-                  and chunk * n_scan64 < 2**31)   # int32 global pos space
+                  and (chunk + 1) * n_scan64 < 2**31)
     flats = None
     if use_packed:
         # chunk-flat streams: exact-size upload + ONE scatter per chunk
