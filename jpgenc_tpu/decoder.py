@@ -363,6 +363,26 @@ def _flatten_packed(packed: list, n_scan64: int, n64: int
     return main_all, eidx, evals
 
 
+def _pairs_from_packed(pk: tuple, layout: FrameLayout
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Convert a packed stream to (flat idx, int16 value) pairs on host —
+    phantoms (value 0) dropped, escapes (-128) replaced from the exception
+    list in emit order. Lets the pair/dense fallbacks reuse an
+    already-decoded packed stream instead of entropy-decoding the scan a
+    second time."""
+    main, eidx, evals = pk
+    pos = np.cumsum(main[:, 0].astype(np.int64)) - 1
+    val = main[:, 1].view(np.int8)
+    keep = val != 0
+    pos = pos[keep]
+    sf = np.asarray(layout.scan_flat, np.int64)
+    idx = sf[pos >> 6] * 64 + (pos & 63)
+    out = val[keep].astype(np.int16)
+    esc = np.flatnonzero(out == -128)      # 1:1, in emit order
+    out[esc] = evals
+    return idx, out
+
+
 def _packed_wins(cap_main: int, cap_exc: int, n64: int) -> bool:
     """True when the packed upload beats the dense int16 tensor."""
     return 2 * cap_main + 6 * cap_exc < 2 * n64
@@ -665,9 +685,14 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
         cap_e = _exc_cap(max(e.size for _, e, _ in flats))
         use_packed = _packed_wins(cap_m, cap_e, chunk * n64)
     if not use_packed:
-        with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
-            pairs = list(ex.map(
-                lambda p: scan_pairs(p, layout, n_threads=nth), parsed))
+        if all(p is not None for p in packed):
+            # packed lost the size race or the 2^31 guard: reuse the
+            # already-decoded streams (no second entropy decode)
+            pairs = [_pairs_from_packed(p, layout) for p in packed]
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
+                pairs = list(ex.map(
+                    lambda p: scan_pairs(p, layout, n_threads=nth), parsed))
         nnz_max = max(i.size for i, _ in pairs)
         cap = _sparse_cap(nnz_max)
         sparse = _sparse_wins(cap, n64)

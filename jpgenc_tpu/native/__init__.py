@@ -175,7 +175,11 @@ def decode_scan_packed(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
     if n < 0:
         raise ValueError(f"native scan decode failed (code {n})")
     ne = int(n_exc[0])
-    return main[:2 * n].reshape(n, 2), eidx[:ne], eval_[:ne]
+    # copies, not views: a view would pin the worst-case-sized cap buffers
+    # (~20x the real bytes) for as long as the caller holds the result —
+    # decode_batch holds every frame's packed stream at once
+    return (main[:2 * n].reshape(n, 2).copy(), eidx[:ne].copy(),
+            eval_[:ne].copy())
 
 
 def decode_scan(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,

@@ -439,12 +439,11 @@ def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
         # sublane dim divisible by 8 (found via an odd-width 480px encode)
         return False
     if layout.is_gray:
-        # budget the LARGER per-step tile: the [mx, 64] f32 input block
-        # (64*mx*4 B) vs the lane-padded [mx, w_blk->128] u32 output block
-        # (mx*128*4 B) — the output dominates for gray, so gating on the
-        # input alone would admit oversize tiles for very wide images
-        return max(64 * layout.mcus_x * 4,
-                   layout.mcus_x * 128 * 4) <= (4 << 20)
+        # the dominant per-step tile for gray is the lane-padded
+        # [mx, w_blk->128] u32 output block (mx*128*4 B — always larger
+        # than the [mx, 64] f32 input's 256*mx B); gating on the input
+        # alone would admit oversize tiles for very wide images
+        return layout.mcus_x * 128 * 4 <= (4 << 20)
     c0 = layout.comps[0]
     return 8 * c0.vs * layout.mcus_x * 128 * 4 <= (4 << 20)
 

@@ -720,10 +720,16 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
         if not _packed_wins(cap_m, cap_e, n64):
             form = None
     if not form:
-        with ThreadPoolExecutor(max_workers=min(8, max(len(uniq), 1))) as ex:
-            upairs = dict(zip(uniq, ex.map(
-                lambda i: scan_pairs(parsed[i], layout, n_threads=nth),
-                uniq)))
+        if all(p is not None for p in packed.values()):
+            # packed lost the size race: reuse the decoded streams
+            from jpgenc_tpu.decoder import _pairs_from_packed
+            upairs = {i: _pairs_from_packed(upk[i], layout) for i in uniq}
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, max(len(uniq), 1))) \
+                    as ex:
+                upairs = dict(zip(uniq, ex.map(
+                    lambda i: scan_pairs(parsed[i], layout, n_threads=nth),
+                    uniq)))
         pairs = {i: upairs[min(i, b - 1)] for i in owned}
         nnz = max((i.size for i, _ in pairs.values()), default=1)
         if multihost.process_count() > 1:

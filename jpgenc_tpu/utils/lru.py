@@ -29,9 +29,11 @@ class LRUCache:
     def get(self, key: Hashable, default: Any = None) -> Any:
         try:
             self._d.move_to_end(key)
+            return self._d[key]
         except KeyError:
+            # the key may be evicted by another thread between the
+            # move_to_end and the lookup — a miss, never a crash
             return default
-        return self._d[key]
 
     def __getitem__(self, key: Hashable) -> Any:
         self._d.move_to_end(key)

@@ -71,10 +71,13 @@ if pid == 0:
 def two_process_lane() -> dict:
     """frames/s of the full distributed encode_batch: 1 process (8 virtual
     devices) vs 2 processes (4+4, real jax.distributed + blob exchange)."""
+    import socket
     out: dict = {}
     for nproc, devs in ((1, 8), (2, 4)):
         src = _MP_WORKER % {"devs": devs, "root": ROOT}
-        port = 12398
+        with socket.socket() as s:       # free port: concurrent runs and
+            s.bind(("127.0.0.1", 0))     # TIME_WAIT coordinators can't clash
+            port = s.getsockname()[1]
         procs = [subprocess.Popen(
             [sys.executable, "-c", src, str(p), str(nproc), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
@@ -88,6 +91,9 @@ def two_process_lane() -> dict:
             for line in so.splitlines():
                 if line.startswith("RESULT "):
                     fps = float(line.split()[1])
+        if fps is None:
+            raise RuntimeError(
+                f"{nproc}-process lane printed no RESULT line")
         key = f"{nproc}_process" + ("es" if nproc > 1 else "")
         out[key] = {"processes": nproc, "devices_per_process": devs,
                     "frames_per_s": round(fps, 2)}

@@ -279,3 +279,26 @@ class TestPackedDecode:
         ref = D.decode(data)
         monkeypatch.setattr(D, "_packed_wins", lambda *a: False)
         np.testing.assert_array_equal(D.decode(data), ref)
+
+    def test_pairs_from_packed_matches_scan_pairs(self, rng):
+        """The no-second-decode fallback conversion (packed -> pairs on
+        host) must reproduce scan_pairs exactly, escapes and phantoms
+        included."""
+        from jpgenc_tpu.decoder import (_pairs_from_packed,
+                                        layout_from_parsed, scan_packed,
+                                        scan_pairs)
+        img = rng.integers(0, 256, (64, 80, 3), np.uint8)   # escapes @ Q95
+        img[:16] = 128                                      # phantom gaps
+        data = encode(img, quality=95, restart_interval=2)
+        parsed = parse_jpeg(data)
+        layout = layout_from_parsed(parsed)
+        pk = scan_packed(parsed, layout)
+        gi, gv = _pairs_from_packed(pk, layout)
+        ri, rv = scan_pairs(parsed, layout)
+        np.testing.assert_array_equal(np.sort(gi), np.sort(ri))
+        dense_g = np.zeros(64 * sum(c.n_blocks for c in layout.comps),
+                           np.int32)
+        dense_r = dense_g.copy()
+        dense_g[gi] = gv
+        dense_r[ri] = rv
+        np.testing.assert_array_equal(dense_g, dense_r)
