@@ -238,12 +238,14 @@ def scan_pairs(parsed: ParsedJpeg, layout: FrameLayout, n_threads: int = 0
     return nz.astype(np.int64), blocks.reshape(-1)[nz].astype(np.int16)
 
 
-def scan_packed(parsed: ParsedJpeg, layout: FrameLayout
+def scan_packed(parsed: ParsedJpeg, layout: FrameLayout, n_threads: int = 0
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Entropy-decode the scan to the packed 2-byte-per-coefficient form
-    (native.decode_scan_packed). Returns None when the native library is
-    unavailable, the capacity heuristic overflows, or table ids fall
-    outside the native range — callers fall back to `scan_pairs`."""
+    (native.decode_scan_packed), decoding restart segments across
+    `n_threads` workers (0 = auto; 1 = serial — batch paths pass 1 and
+    parallelize across images instead). Returns None when the native
+    library is unavailable, the capacity heuristic overflows, or table ids
+    fall outside the native range — callers fall back to `scan_pairs`."""
     comp_dc = [c.dc_tab for c in parsed.comps]
     comp_ac = [c.ac_tab for c in parsed.comps]
     if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac) \
@@ -251,7 +253,8 @@ def scan_packed(parsed: ParsedJpeg, layout: FrameLayout
             and all(t in parsed.ac_tables for t in comp_ac):
         return native.decode_scan_packed(
             parsed.scan_data, layout, comp_dc, comp_ac,
-            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables))
+            _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables),
+            n_threads=n_threads)
     return None
 
 
@@ -658,7 +661,8 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
     nth = 1 if len(parsed) > 1 else 0
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
-        packed = list(ex.map(lambda p: scan_packed(p, layout), parsed))
+        packed = list(ex.map(
+            lambda p: scan_packed(p, layout, n_threads=nth), parsed))
 
     qts_b = [[np.asarray(q).reshape(64).astype(np.int32)
               for q in _qts_of(p)] for p in parsed]

@@ -106,7 +106,7 @@ def _load_inner():
         i32p, i32p, ctypes.c_int64,
         i32p, i32p,
         u8p, u8p, u8p, u8p,
-        ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int64, ctypes.c_int64,
         u8p, i32p, i16p, i64p,
     ]
@@ -135,7 +135,7 @@ def _pack_tables(tabs):
 
 
 def decode_scan_packed(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
-                       dc_tables, ac_tables
+                       dc_tables, ac_tables, n_threads: int = 0
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Entropy-decode a stuffed scan to the PACKED 2-byte-per-coefficient
     form: (main [n, 2] u8 rows of (delta, val_s8), exception flat indices
@@ -143,8 +143,11 @@ def decode_scan_packed(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
     idx = cumsum(delta) - 1; values |v| > 127 are escaped into the
     exception list (scattered second on device, overwriting the -128
     escape byte); gaps > 255 are bridged by harmless (255, 0) phantoms.
-    Returns None when the native library is unavailable or a capacity
-    heuristic overflows (callers fall back to the pair/dense forms)."""
+    n_threads: segment-parallel workers over restart segments (0 = auto,
+    engaged only for large scans; 1 = serial — batch paths pass 1); the
+    merged stream is identical to the serial walk's. Returns None when the
+    native library is unavailable or a capacity heuristic overflows
+    (callers fall back to the pair/dense forms)."""
     lib = _load()
     if lib is None:
         return None
@@ -168,7 +171,7 @@ def decode_scan_packed(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
         layout.n_scan,
         np.asarray(comp_dc_tab, np.int32), np.asarray(comp_ac_tab, np.int32),
         dc_bits, dc_vals, ac_bits, ac_vals,
-        layout.blocks_per_segment, layout.n_segments,
+        layout.blocks_per_segment, layout.n_segments, n_threads,
         cap_main, cap_exc, main, eidx, eval_, n_exc)
     if n == -9:
         return None          # capacity heuristic exceeded: pair fallback

@@ -231,10 +231,12 @@ static int pick_threads(int n_threads, int n_segments, int64_t data_len) {
     if (n_threads <= 0) {
         unsigned hc = std::thread::hardware_concurrency();
         n_threads = hc ? (int)hc : 1;
+        // the byte gate applies to AUTO mode only: an explicit count is
+        // honored (tests exercise the threaded paths on small fixtures)
+        int64_t by_bytes = data_len / (512 << 10) + 1;
+        if (n_threads > by_bytes) n_threads = (int)by_bytes;
     }
     if (n_threads > n_segments) n_threads = n_segments;
-    int64_t by_bytes = data_len / (512 << 10) + 1;
-    if (n_threads > by_bytes) n_threads = (int)by_bytes;
     return n_threads < 1 ? 1 : n_threads;
 }
 
@@ -625,8 +627,11 @@ int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
 //   (-128) AND appends (flat idx, true value) to the exception list; the
 //   device scatters exceptions AFTER the main stream, overwriting the
 //   escape byte. Trailing pad entries use the same phantom form.
-// Serial only (callers parallelize across images; the delta chain is
-// global so thread-range concatenation would need bridging).
+// n_threads: segment-parallel workers (0 = auto, gated like decode_scan):
+// each worker's delta chain anchors at its range's first scan position,
+// and the sequential concat re-bridges the chains (adjust the range's
+// first delta, insert phantom hops) so the merged stream is identical in
+// meaning to the serial walk.
 // Returns packed entry count; n_exc_out gets the exception count; -9 when
 // either capacity is exceeded (caller falls back to the pair form); other
 // negative codes as decode_scan.
@@ -639,7 +644,7 @@ int64_t decode_scan_packed(const uint8_t* data, int64_t data_len,
                            const uint8_t* dc_bits, const uint8_t* dc_vals,
                            const uint8_t* ac_bits, const uint8_t* ac_vals,
                            int64_t blocks_per_segment, int n_segments,
-                           int64_t cap_main, int64_t cap_exc,
+                           int n_threads, int64_t cap_main, int64_t cap_exc,
                            uint8_t* main_out /*[cap_main*2]*/,
                            int32_t* exc_idx, int16_t* exc_val,
                            int64_t* n_exc_out) {
@@ -650,37 +655,132 @@ int64_t decode_scan_packed(const uint8_t* data, int64_t data_len,
                               data, data_len, n_segments, dc, ac, segs);
     if (prc) return prc;
 
-    int64_t n = 0, ne = 0, prev = -1;
-    bool overflow = false;
-    int64_t rc = decode_segment_range(
-        data, segs.data(), 0, n_segments, n_comps, scan_comp, scan_flat,
-        n_scan, comp_dc_tab, comp_ac_tab, dc, ac, blocks_per_segment,
-        [&](int64_t pos, int64_t i, int32_t v) {
-            int64_t gap = pos - prev;
-            while (gap > 255) {           // phantom hops across the gap
+    int nt = pick_threads(n_threads, n_segments, data_len);
+    if (nt <= 1) {
+        int64_t n = 0, ne = 0, prev = -1;
+        bool overflow = false;
+        int64_t rc = decode_segment_range(
+            data, segs.data(), 0, n_segments, n_comps, scan_comp, scan_flat,
+            n_scan, comp_dc_tab, comp_ac_tab, dc, ac, blocks_per_segment,
+            [&](int64_t pos, int64_t i, int32_t v) {
+                int64_t gap = pos - prev;
+                while (gap > 255) {       // phantom hops across the gap
+                    if (n >= cap_main) { overflow = true; return false; }
+                    main_out[2 * n] = 255;
+                    main_out[2 * n + 1] = 0;
+                    ++n;
+                    gap -= 255;
+                }
                 if (n >= cap_main) { overflow = true; return false; }
+                main_out[2 * n] = (uint8_t)gap;
+                if (v >= -127 && v <= 127) {
+                    main_out[2 * n + 1] = (uint8_t)(int8_t)v;
+                } else {
+                    main_out[2 * n + 1] = (uint8_t)(int8_t)(-128);
+                    if (ne >= cap_exc) { overflow = true; return false; }
+                    exc_idx[ne] = (int32_t)i;
+                    exc_val[ne] = (int16_t)v;
+                    ++ne;
+                }
+                ++n;
+                prev = pos;
+                return true;
+            });
+        if (overflow) return -9;
+        if (rc) return rc;
+        *n_exc_out = ne;
+        return n;
+    }
+
+    // threaded: worker-local streams anchored at each range's first scan
+    // position; the merge below re-bridges the delta chains
+    std::vector<int> bounds;
+    partition_segments(segs, nt, bounds);
+    std::vector<int64_t> rcs(nt, 0);
+    std::vector<std::vector<uint8_t>> tmain(nt);   // (delta, val) pairs
+    std::vector<std::vector<int32_t>> tei(nt);
+    std::vector<std::vector<int16_t>> tev(nt);
+    std::vector<std::thread> workers;
+    workers.reserve(nt);
+    for (int t = 0; t < nt; ++t) {
+        workers.emplace_back([&, t]() {
+            int64_t bytes = 0;
+            for (int s = bounds[t]; s < bounds[t + 1]; ++s)
+                bytes += segs[s].end - segs[s].start;
+            std::vector<uint8_t> lm;            // worker-local (see sparse
+            std::vector<int32_t> li;            // variant: false sharing)
+            std::vector<int16_t> lv;
+            lm.reserve((size_t)(bytes + 128));  // ~4 bits/coef typical
+            int64_t prev =
+                (int64_t)bounds[t] * blocks_per_segment * 64 - 1;
+            int64_t rc = decode_segment_range(
+                data, segs.data(), bounds[t], bounds[t + 1], n_comps,
+                scan_comp, scan_flat, n_scan, comp_dc_tab, comp_ac_tab,
+                dc, ac, blocks_per_segment,
+                [&](int64_t pos, int64_t i, int32_t v) {
+                    int64_t gap = pos - prev;
+                    while (gap > 255) {
+                        lm.push_back(255);
+                        lm.push_back(0);
+                        gap -= 255;
+                    }
+                    lm.push_back((uint8_t)gap);
+                    if (v >= -127 && v <= 127) {
+                        lm.push_back((uint8_t)(int8_t)v);
+                    } else {
+                        lm.push_back((uint8_t)(int8_t)(-128));
+                        li.push_back((int32_t)i);
+                        lv.push_back((int16_t)v);
+                    }
+                    prev = pos;
+                    return true;
+                });
+            tmain[t] = std::move(lm);
+            tei[t] = std::move(li);
+            tev[t] = std::move(lv);
+            rcs[t] = rc;
+        });
+    }
+    for (auto& w : workers) w.join();
+    for (int t = 0; t < nt; ++t)
+        if (rcs[t]) return rcs[t];
+
+    // sequential merge with delta re-bridging (same math as the Python
+    // _flatten_packed frame bridging)
+    int64_t n = 0, ne = 0, prev = -1;
+    for (int t = 0; t < nt; ++t) {
+        const auto& m = tmain[t];
+        int64_t cnt = (int64_t)m.size() / 2;
+        if (cnt) {
+            int64_t base = (int64_t)bounds[t] * blocks_per_segment * 64 - 1;
+            int64_t first = base + m[0];        // global pos of 1st entry
+            int64_t gap = first - prev;
+            int64_t k = (gap - 1) / 255;        // bridge phantom hops
+            if (n + k + cnt > cap_main) return -9;
+            for (int64_t p = 0; p < k; ++p) {
                 main_out[2 * n] = 255;
                 main_out[2 * n + 1] = 0;
                 ++n;
-                gap -= 255;
             }
-            if (n >= cap_main) { overflow = true; return false; }
-            main_out[2 * n] = (uint8_t)gap;
-            if (v >= -127 && v <= 127) {
-                main_out[2 * n + 1] = (uint8_t)(int8_t)v;
-            } else {
-                main_out[2 * n + 1] = (uint8_t)(int8_t)(-128);
-                if (ne >= cap_exc) { overflow = true; return false; }
-                exc_idx[ne] = (int32_t)i;
-                exc_val[ne] = (int16_t)v;
-                ++ne;
-            }
-            ++n;
-            prev = pos;
-            return true;
-        });
-    if (overflow) return -9;
-    if (rc) return rc;
+            std::memcpy(main_out + 2 * n, m.data(), m.size());
+            main_out[2 * n] = (uint8_t)(gap - 255 * k);
+            n += cnt;
+            // last global pos of this range: base + sum of the ORIGINAL
+            // local deltas (m is untouched; only main_out's copy had its
+            // first delta rewritten for the bridge)
+            int64_t sum = 0;
+            for (int64_t p = 0; p < cnt; ++p) sum += m[2 * p];
+            prev = base + sum;
+        }
+        if (!tei[t].empty()) {
+            if (ne + (int64_t)tei[t].size() > cap_exc) return -9;
+            std::memcpy(exc_idx + ne, tei[t].data(),
+                        tei[t].size() * sizeof(int32_t));
+            std::memcpy(exc_val + ne, tev[t].data(),
+                        tev[t].size() * sizeof(int16_t));
+            ne += (int64_t)tei[t].size();
+        }
+    }
     *n_exc_out = ne;
     return n;
 }

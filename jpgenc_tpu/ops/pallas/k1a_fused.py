@@ -438,6 +438,13 @@ def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
         # output BlockSpecs are [mcus_x, ...] tiles: Mosaic requires the
         # sublane dim divisible by 8 (found via an odd-width 480px encode)
         return False
+    # the unrolled per-word merge holds ~w_blk live [mcus_x, 128] vectors
+    # on Mosaic's 16 MB scoped-VMEM stack: measured 29.05 MB at
+    # w_blk=24 x mcus_x=240 (4K) -> ~5.04 KB per w_blk*mcus_x unit. Gate
+    # with headroom; oversize combinations use the split K1 + kernel-A
+    # pipeline (e.g. 4K at Q>80 tiers).
+    if w_blk * layout.mcus_x * 5200 > (15 << 20):
+        return False
     if layout.is_gray:
         # the dominant per-step tile for gray is the lane-padded
         # [mx, w_blk->128] u32 output block (mx*128*4 B — always larger

@@ -703,7 +703,7 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
     # per-frame cap buckets keep the vmapped SPMD structure
     with ThreadPoolExecutor(max_workers=min(8, max(len(uniq), 1))) as ex:
         upk = dict(zip(uniq, ex.map(
-            lambda i: scan_packed(parsed[i], layout), uniq)))
+            lambda i: scan_packed(parsed[i], layout, n_threads=nth), uniq)))
     packed = {i: upk[min(i, b - 1)] for i in owned}
     form = "packed" if all(p is not None for p in packed.values()) else None
     if form:

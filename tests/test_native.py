@@ -302,3 +302,22 @@ class TestPackedDecode:
         dense_g[gi] = gv
         dense_r[ri] = rv
         np.testing.assert_array_equal(dense_g, dense_r)
+
+    def test_packed_threaded_matches_serial(self, rng):
+        """Segment-parallel packed emission: the merged stream decodes to
+        the same coefficients as the serial walk (the per-range delta
+        chains are re-bridged at concat), across thread counts."""
+        from jpgenc_tpu.decoder import layout_from_parsed, scan_packed
+        img = rng.integers(0, 256, (96, 128, 3), np.uint8)
+        img[:32] = 128                      # empty blocks -> phantom gaps
+        data = encode(img, quality=92, restart_interval=1)
+        parsed = parse_jpeg(data)
+        layout = layout_from_parsed(parsed)
+        assert layout.n_segments >= 8
+        n64 = 64 * sum(c.n_blocks for c in layout.comps)
+        ref = self._unpack_host(*scan_packed(parsed, layout, n_threads=1),
+                                layout, n64)
+        for nt in (2, 3, 8, 0):
+            got = self._unpack_host(
+                *scan_packed(parsed, layout, n_threads=nt), layout, n64)
+            np.testing.assert_array_equal(got, ref)
