@@ -69,3 +69,17 @@ def test_k1a_gate():
     # mcus_x not divisible by 8 (Mosaic sublane tiling) must fall back
     assert not k1a_applicable(make_layout(360, 480, "420", 0))
     assert not k1a_applicable(make_layout(64, 120, "gray", 0))
+
+
+def test_k1a_gate_rejects_oversize_scoped_vmem():
+    """The unrolled merge holds ~w_blk live [mcus_x, 128] vectors on the
+    16 MB scoped-VMEM stack: w_blk=24 at 4K width compiled to a 29 MB
+    stack and died at compile time (found via a 4K Q95 encode after the
+    high-quality tier change). The gate must reject that combination and
+    keep accepting the measured-good ones."""
+    from jpgenc_tpu.layout import make_layout
+    from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
+    assert k1a_applicable(make_layout(1080, 1920, "420", 0), 8)
+    assert k1a_applicable(make_layout(1080, 1920, "420", 0), 24)
+    assert k1a_applicable(make_layout(2160, 3840, "420", 0), 8)
+    assert not k1a_applicable(make_layout(2160, 3840, "420", 0), 24)
