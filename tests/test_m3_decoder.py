@@ -188,3 +188,28 @@ def test_decode_batch_mixed_restart_interval(rgb_image):
     from jpgenc_tpu.parallel.mesh import decode_batch as decode_sharded
     with _pytest.raises(ValueError, match="same-geometry"):
         decode_sharded([a, b])
+
+
+def test_decode_opencv_and_tf_files(rgb_image):
+    """Foreign-encoder breadth: files produced by OpenCV and TensorFlow
+    (independent libjpeg lineages) decode through our (packed) path with
+    pixels matching Pillow's decode of the same bytes."""
+    import io
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    from jpgenc_tpu.utils.metrics import psnr
+    ok, enc = cv2.imencode(".jpg", rgb_image[:, :, ::-1],
+                           [cv2.IMWRITE_JPEG_QUALITY, 80])
+    assert ok
+    data = enc.tobytes()
+    ours = decode(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert psnr(ours, ref) > 45.0        # IDCT rounding only
+
+    tf = pytest.importorskip("tensorflow")
+    data2 = tf.io.encode_jpeg(rgb_image, quality=85,
+                              chroma_downsampling=True).numpy()
+    ours2 = decode(data2)
+    ref2 = np.asarray(Image.open(io.BytesIO(data2)).convert("RGB"))
+    assert psnr(ours2, ref2) > 45.0
