@@ -162,3 +162,41 @@ def test_full_encode_on_hw(tpu, frame):
         assert float(psnr(pil, frame)) > 26.5
         layout, blocks, _ = decode_to_coefficients(data)
         assert blocks.shape[1] == 64
+
+
+def test_packed_decode_on_hw(tpu, frame):
+    """Round-3 decode path on the real chip: packed 2-byte coefficient
+    upload + in-dispatch densify (single and chunk-flat batched), decoded
+    pixels identical to the dense-forced reference path."""
+    import jpgenc_tpu.decoder as D
+    from jpgenc_tpu import native
+    from jpgenc_tpu.api import encode
+
+    files = [encode(frame, quality=q, restart_interval=r)
+             for q, r in ((75, 0), (92, 4), (50, 8))]
+    got_single = [D.decode(f) for f in files]
+    got_batch = D.decode_batch([files[0]] * 3, chunk=2)
+
+    orig = native.available
+    try:
+        native.available = lambda: False      # python + dense upload path
+        ref = [D.decode(f) for f in files]
+    finally:
+        native.available = orig
+    for g, r in zip(got_single, ref):
+        np.testing.assert_array_equal(g, r)
+    for g in got_batch:
+        np.testing.assert_array_equal(g, ref[0])
+
+
+def test_mesh_decode_on_hw(tpu, frame):
+    """Sharded decode_batch (packed form) on the real chip matches
+    per-image decode."""
+    from jpgenc_tpu.api import decode, encode
+    from jpgenc_tpu.parallel.mesh import decode_batch as decode_sharded
+
+    files = [encode(frame, quality=80)] * 2
+    out = decode_sharded(files, to_device=False)
+    ref = decode(files[0])
+    for o in out:
+        np.testing.assert_array_equal(o, ref)
