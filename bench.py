@@ -324,14 +324,20 @@ def main() -> None:
         # uploads behind the per-chunk reconstructions (~1.4x here).
         # block_until_ready returns early on this platform, so force
         # completion by fetching one pixel per chunk.
-        def dec_dev():
-            for out in decode_batch(files, to_device=True, chunk=ch):
+        def force(outs):
+            for out in outs:
                 np.asarray(out[-1, -1, -1])
-        dec_dev()                                           # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(3):
-            dec_dev()
-        dsec_dev = (time.perf_counter() - t0) / 3
+        force(decode_batch(files, to_device=True, chunk=ch))  # compile+warm
+        # median of one-shot batches (cross-call pipelining was measured
+        # and does NOT help: the host-side parse/entropy/staging work
+        # serializes against the previous call's device chunks)
+        iters = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            force(decode_batch(files, to_device=True, chunk=ch))
+            iters.append(time.perf_counter() - t0)
+        iters.sort()
+        dsec_dev = iters[len(iters) // 2]
         row = {"mpix_per_s": round(nb_dec * H * W / 1e6 / dsec_dev, 2),
                "batch": nb_dec, "chunk": ch,
                "note": "to_device (pixels stay in HBM), chunk-pipelined"}
