@@ -145,12 +145,18 @@ def parse_jpeg(data: bytes) -> ParsedJpeg:
                 for c in out.comps:
                     if c.comp_id == cs:
                         c.dc_tab, c.ac_tab = tda >> 4, tda & 0xF
-            # entropy data runs until the next non-RST marker (EOI for baseline)
-            j = i
-            while j < n - 1:
-                if data[j] == 0xFF and data[j + 1] != 0x00 and not (0xD0 <= data[j + 1] <= 0xD7):
-                    break
-                j += 1
+            # entropy data runs until the next non-RST marker (EOI for
+            # baseline). Vectorized: the per-byte Python walk cost
+            # ~9 ms/MB and dominated batch-decode host time.
+            arr = np.frombuffer(data, np.uint8)
+            ff = np.flatnonzero(arr[i:n - 1] == 0xFF)
+            if ff.size:
+                nxt = arr[i + ff + 1]
+                term = (nxt != 0x00) & ((nxt < 0xD0) | (nxt > 0xD7))
+                hits = ff[term]
+                j = i + int(hits[0]) if hits.size else n - 1
+            else:
+                j = n - 1
             out.scan_data = data[i:j]
             i = j
         # other APPn/COM markers: skipped
