@@ -599,14 +599,11 @@ def decode(data: bytes, to_device: bool = False):
         else:
             # pathological dense content: unpack on host (no second
             # entropy decode) and upload the dense tensor
-            n_total = n64 // 64
-            pos = np.cumsum(main[:, 0].astype(np.int64)) - 1
-            sf = np.asarray(layout.scan_flat, np.int64)
+            idx2, val2 = _pairs_from_packed(pk, layout)
             dense = np.zeros(n64, np.int16)
-            dense[sf[pos >> 6] * 64 + (pos & 63)] = main[:, 1].view(np.int8)
-            dense[eidx] = evals
+            dense[idx2] = val2
             out = _recon_jit(layout)(
-                jnp.asarray(dense.reshape(n_total, 64)), qts)
+                jnp.asarray(dense.reshape(n64 // 64, 64)), qts)
         return out if to_device else np.asarray(out)
     idx, val = scan_pairs(parsed, layout)
     return _recon_from_pairs(layout, idx, val, _qts_of(parsed),

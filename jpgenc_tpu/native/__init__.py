@@ -200,20 +200,8 @@ def decode_scan(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
     if lib is None:
         return None
 
-    def pack(tabs):
-        bits = np.zeros((2, 16), np.uint8)
-        vals = np.zeros((2, 256), np.uint8)
-        for i, t in enumerate(tabs[:2]):
-            b = np.asarray(t.bits, np.uint8)
-            v = np.asarray(t.vals, np.uint8)
-            bits[i, :b.size] = b
-            vals[i, :v.size] = v
-        if len(tabs) == 1:
-            bits[1], vals[1] = bits[0], vals[0]
-        return bits.reshape(-1), vals.reshape(-1)
-
-    dc_bits, dc_vals = pack(dc_tables)
-    ac_bits, ac_vals = pack(ac_tables)
+    dc_bits, dc_vals = _pack_tables(dc_tables)
+    ac_bits, ac_vals = _pack_tables(ac_tables)
     data = np.frombuffer(scan_data, np.uint8)
     n_total = sum(c.n_blocks for c in layout.comps)
     out = np.zeros(n_total * 64, np.int32)
@@ -317,20 +305,8 @@ def decode_scan_sparse(scan_data: bytes, layout, comp_dc_tab, comp_ac_tab,
     if lib is None:
         return None
 
-    def pack(tabs):
-        bits = np.zeros((2, 16), np.uint8)
-        vals = np.zeros((2, 256), np.uint8)
-        for i, t in enumerate(tabs[:2]):
-            b = np.asarray(t.bits, np.uint8)
-            v = np.asarray(t.vals, np.uint8)
-            bits[i, :b.size] = b
-            vals[i, :v.size] = v
-        if len(tabs) == 1:
-            bits[1], vals[1] = bits[0], vals[0]
-        return bits.reshape(-1), vals.reshape(-1)
-
-    dc_bits, dc_vals = pack(dc_tables)
-    ac_bits, ac_vals = pack(ac_tables)
+    dc_bits, dc_vals = _pack_tables(dc_tables)
+    ac_bits, ac_vals = _pack_tables(ac_tables)
     data = np.frombuffer(scan_data, np.uint8)
     # well-formed data costs >= 2 bits/coefficient; + slack for per-segment
     # zero-fill padding a malformed stream can decode (~16 bytes/segment)
