@@ -321,3 +321,23 @@ class TestPackedDecode:
             got = self._unpack_host(
                 *scan_packed(parsed, layout, n_threads=nt), layout, n64)
             np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("hw", [(1, 1), (7, 5), (16, 1), (17, 31)])
+    def test_packed_decode_odd_geometries(self, rng, hw):
+        """Tiny/odd image geometries through the packed device path equal
+        the python dense reference (1-pixel, single-row/column, non-MCU
+        sizes)."""
+        import jpgenc_tpu.decoder as D
+        h, w = hw
+        for img, kw in ((rng.integers(0, 256, (h, w), np.uint8), {}),
+                        (rng.integers(0, 256, (h, w, 3), np.uint8),
+                         {"subsampling": "420"})):
+            data = encode(img, quality=85, **kw)
+            got = D.decode(data)
+            orig = native.available
+            try:
+                native.available = lambda: False
+                ref = D.decode(data)
+            finally:
+                native.available = orig
+            np.testing.assert_array_equal(got, ref)
