@@ -698,11 +698,16 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
         cap = _sparse_cap(nnz_max)
         sparse = _sparse_wins(cap, n64)
 
+    # quant tables: ONE upload per component for the whole batch; chunks
+    # take device-side slices (each per-chunk jnp.asarray would be its own
+    # small transfer with fixed dispatch overhead)
+    qts_all = [jnp.asarray(np.stack([row[i] for row in qts_b]))
+               for i in range(n_comps)]
+
     outs_d = []
     for ci, c0 in enumerate(range(0, b, chunk)):
         nb = len(parsed[c0:c0 + chunk])
-        qts = [jnp.asarray(np.stack([row[i] for row in qts_b[c0:c0 + chunk]]))
-               for i in range(n_comps)]
+        qts = [q[c0:c0 + nb] for q in qts_all]
         if use_packed:
             mp, exc = _pad_packed(*flats[ci], cap_m, cap_e, nb * n64)
             outs_d.append(_recon_jit(layout, batch=nb, form="packedflat")(
