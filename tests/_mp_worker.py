@@ -60,6 +60,16 @@ def main() -> int:
                  restart_interval=3)  # 48/16=3 MCUs per stripe row
     assert data == ref, f"proc {pid}: striped scan differs from single-device"
 
+    # --- RAGGED stripes across processes: 15 MCU rows over 8 stripes
+    # (2x7 + 1) — the tail stripe's padding-row segments drop, global RSTn
+    # numbering spans only kept segments, blobs exchange over the control
+    # plane; every process must see bytes identical to the unsharded encode
+    big_r = np.clip(rng.normal(128, 40, (120, 64)), 0, 255).astype(np.uint8)
+    data_r = encode_striped(big_r, n_stripes=8, quality=75,
+                            restart_interval=8, mesh=smesh)
+    assert data_r == encode(big_r, quality=75, restart_interval=8), \
+        f"proc {pid}: ragged striped scan differs from single-device"
+
     # --- sharded decode: each process entropy-decodes only its owned rows;
     # pixels stay sharded; every process verifies its ADDRESSABLE shards
     # against the single-device decoder (global device_get would raise)
