@@ -451,7 +451,7 @@ def main() -> None:
     _config("1080p_islow_q75", c_islow)   # 0 MB (reuses frames_dev)
     _config("gray512_q75", c7)       # ~17 MB
     _config("4k_optimized", c10)     # ~75 MB
-    _config("decode_1080p", cdec)    # ~150 MB (coefficient uploads)
+    _config("decode_1080p", cdec)    # ~60 MB (packed coefficient uploads)
     _config("e2e_upload", c8_e2e)    # ~300 MB
     _config("batch_sharded", c11)    # ~300 MB
 

@@ -285,6 +285,31 @@ static int decode_prologue(int n_comps,
     return 0;
 }
 
+// Shared packed-emission step (serial and threaded paths): phantom hops
+// across gaps > 255, |v| > 127 escaped to the exception sink, the entry
+// itself last. `put(delta, val)` / `exc(idx, val)` return false to abort
+// (capacity overflow in the serial sink; growable vectors never abort).
+template <typename PutPair, typename PutExc>
+static inline bool emit_packed_entry(int64_t pos, int64_t i, int32_t v,
+                                     int64_t& prev, PutPair&& put,
+                                     PutExc&& exc) {
+    int64_t gap = pos - prev;
+    while (gap > 255) {
+        if (!put((uint8_t)255, (uint8_t)0)) return false;
+        gap -= 255;
+    }
+    uint8_t vb;
+    if (v >= -127 && v <= 127) {
+        vb = (uint8_t)(int8_t)v;
+    } else {
+        vb = (uint8_t)(int8_t)(-128);
+        if (!exc(i, v)) return false;
+    }
+    if (!put((uint8_t)gap, vb)) return false;
+    prev = pos;
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -659,32 +684,25 @@ int64_t decode_scan_packed(const uint8_t* data, int64_t data_len,
     if (nt <= 1) {
         int64_t n = 0, ne = 0, prev = -1;
         bool overflow = false;
+        auto put = [&](uint8_t d, uint8_t vb) {
+            if (n >= cap_main) { overflow = true; return false; }
+            main_out[2 * n] = d;
+            main_out[2 * n + 1] = vb;
+            ++n;
+            return true;
+        };
+        auto exc = [&](int64_t i, int32_t v) {
+            if (ne >= cap_exc) { overflow = true; return false; }
+            exc_idx[ne] = (int32_t)i;
+            exc_val[ne] = (int16_t)v;
+            ++ne;
+            return true;
+        };
         int64_t rc = decode_segment_range(
             data, segs.data(), 0, n_segments, n_comps, scan_comp, scan_flat,
             n_scan, comp_dc_tab, comp_ac_tab, dc, ac, blocks_per_segment,
             [&](int64_t pos, int64_t i, int32_t v) {
-                int64_t gap = pos - prev;
-                while (gap > 255) {       // phantom hops across the gap
-                    if (n >= cap_main) { overflow = true; return false; }
-                    main_out[2 * n] = 255;
-                    main_out[2 * n + 1] = 0;
-                    ++n;
-                    gap -= 255;
-                }
-                if (n >= cap_main) { overflow = true; return false; }
-                main_out[2 * n] = (uint8_t)gap;
-                if (v >= -127 && v <= 127) {
-                    main_out[2 * n + 1] = (uint8_t)(int8_t)v;
-                } else {
-                    main_out[2 * n + 1] = (uint8_t)(int8_t)(-128);
-                    if (ne >= cap_exc) { overflow = true; return false; }
-                    exc_idx[ne] = (int32_t)i;
-                    exc_val[ne] = (int16_t)v;
-                    ++ne;
-                }
-                ++n;
-                prev = pos;
-                return true;
+                return emit_packed_entry(pos, i, v, prev, put, exc);
             });
         if (overflow) return -9;
         if (rc) return rc;
@@ -700,6 +718,7 @@ int64_t decode_scan_packed(const uint8_t* data, int64_t data_len,
     std::vector<std::vector<uint8_t>> tmain(nt);   // (delta, val) pairs
     std::vector<std::vector<int32_t>> tei(nt);
     std::vector<std::vector<int16_t>> tev(nt);
+    std::vector<int64_t> tlast(nt, 0);   // each worker's final global pos
     std::vector<std::thread> workers;
     workers.reserve(nt);
     for (int t = 0; t < nt; ++t) {
@@ -713,31 +732,27 @@ int64_t decode_scan_packed(const uint8_t* data, int64_t data_len,
             lm.reserve((size_t)(bytes + 128));  // ~4 bits/coef typical
             int64_t prev =
                 (int64_t)bounds[t] * blocks_per_segment * 64 - 1;
+            auto put = [&](uint8_t d, uint8_t vb) {
+                lm.push_back(d);
+                lm.push_back(vb);
+                return true;
+            };
+            auto exc = [&](int64_t i, int32_t v) {
+                li.push_back((int32_t)i);
+                lv.push_back((int16_t)v);
+                return true;
+            };
             int64_t rc = decode_segment_range(
                 data, segs.data(), bounds[t], bounds[t + 1], n_comps,
                 scan_comp, scan_flat, n_scan, comp_dc_tab, comp_ac_tab,
                 dc, ac, blocks_per_segment,
                 [&](int64_t pos, int64_t i, int32_t v) {
-                    int64_t gap = pos - prev;
-                    while (gap > 255) {
-                        lm.push_back(255);
-                        lm.push_back(0);
-                        gap -= 255;
-                    }
-                    lm.push_back((uint8_t)gap);
-                    if (v >= -127 && v <= 127) {
-                        lm.push_back((uint8_t)(int8_t)v);
-                    } else {
-                        lm.push_back((uint8_t)(int8_t)(-128));
-                        li.push_back((int32_t)i);
-                        lv.push_back((int16_t)v);
-                    }
-                    prev = pos;
-                    return true;
+                    return emit_packed_entry(pos, i, v, prev, put, exc);
                 });
             tmain[t] = std::move(lm);
             tei[t] = std::move(li);
             tev[t] = std::move(lv);
+            tlast[t] = prev;
             rcs[t] = rc;
         });
     }
@@ -765,12 +780,9 @@ int64_t decode_scan_packed(const uint8_t* data, int64_t data_len,
             std::memcpy(main_out + 2 * n, m.data(), m.size());
             main_out[2 * n] = (uint8_t)(gap - 255 * k);
             n += cnt;
-            // last global pos of this range: base + sum of the ORIGINAL
-            // local deltas (m is untouched; only main_out's copy had its
-            // first delta rewritten for the bridge)
-            int64_t sum = 0;
-            for (int64_t p = 0; p < cnt; ++p) sum += m[2 * p];
-            prev = base + sum;
+            // each worker recorded its final global position — no
+            // re-summing of the stream's deltas here
+            prev = tlast[t];
         }
         if (!tei[t].empty()) {
             if (ne + (int64_t)tei[t].size() > cap_exc) return -9;

@@ -466,7 +466,7 @@ def fused_pixels_to_pack(img: jnp.ndarray, layout: FrameLayout,
     from jpgenc_tpu import tables as T
     from jpgenc_tpu.ops import color as C
 
-    assert k1a_applicable(layout)
+    assert k1a_applicable(layout, w_blk)
     if layout.is_gray:
         buf, bits = _fused_gray(img, layout, qtabs, tables, w_blk, interpret)
         buf = buf.reshape(-1, w_blk)
