@@ -80,11 +80,11 @@ def _extend(v: int, s: int) -> int:
 
 
 def _tables_by_id(d: dict) -> list:
-    """Huffman tables as native rows indexed BY table id; a missing slot
-    (the file only defines the other id) gets a placeholder that is never
-    referenced (ids are validated by the callers)."""
-    r0, r1 = d.get(0), d.get(1)
-    return [r0 if r0 is not None else r1, r1 if r1 is not None else r0]
+    """Huffman tables as native rows indexed BY table id (T.81 allows Th
+    0-3 in baseline files); a slot the file does not define stays None —
+    native._pack_tables leaves it empty, and it is never referenced (ids
+    are validated against the tables present by the callers)."""
+    return [d.get(i) for i in range(4)]
 
 
 def _sparse_cap(nnz: int) -> int:
@@ -120,7 +120,7 @@ def decode_scan_to_blocks(parsed: ParsedJpeg, layout: FrameLayout,
             raise ValueError(
                 f"component {cid} references undefined AC Huffman table {a}")
 
-    if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac):
+    if native.available() and all(0 <= t <= 3 for t in comp_dc + comp_ac):
         out = native.decode_scan(
             parsed.scan_data, layout, comp_dc, comp_ac,
             _tables_by_id(parsed.dc_tables), _tables_by_id(parsed.ac_tables),
@@ -224,7 +224,7 @@ def scan_pairs(parsed: ParsedJpeg, layout: FrameLayout, n_threads: int = 0
     reference decode + flatnonzero is the fallback."""
     comp_dc = [c.dc_tab for c in parsed.comps]
     comp_ac = [c.ac_tab for c in parsed.comps]
-    if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac) \
+    if native.available() and all(0 <= t <= 3 for t in comp_dc + comp_ac) \
             and all(t in parsed.dc_tables for t in comp_dc) \
             and all(t in parsed.ac_tables for t in comp_ac):
         out = native.decode_scan_sparse(
@@ -248,7 +248,7 @@ def scan_packed(parsed: ParsedJpeg, layout: FrameLayout, n_threads: int = 0
     fall outside the native range — callers fall back to `scan_pairs`."""
     comp_dc = [c.dc_tab for c in parsed.comps]
     comp_ac = [c.ac_tab for c in parsed.comps]
-    if native.available() and all(t in (0, 1) for t in comp_dc + comp_ac) \
+    if native.available() and all(0 <= t <= 3 for t in comp_dc + comp_ac) \
             and all(t in parsed.dc_tables for t in comp_dc) \
             and all(t in parsed.ac_tables for t in comp_ac):
         return native.decode_scan_packed(
@@ -686,14 +686,18 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
         cap_e = _exc_cap(max(e.size for _, e, _ in flats))
         use_packed = _packed_wins(cap_m, cap_e, chunk * n64)
     if not use_packed:
-        if all(p is not None for p in packed):
-            # packed lost the size race or the 2^31 guard: reuse the
-            # already-decoded streams (no second entropy decode)
-            pairs = [_pairs_from_packed(p, layout) for p in packed]
-        else:
-            with ThreadPoolExecutor(max_workers=min(8, len(datas))) as ex:
-                pairs = list(ex.map(
-                    lambda p: scan_pairs(p, layout, n_threads=nth), parsed))
+        # packed lost the size race / 2^31 guard, or some frames lacked a
+        # packed stream: reuse every already-decoded packed stream and
+        # entropy-decode only the frames that need it
+        redo = [f for f, p in enumerate(packed) if p is None]
+        pairs = [None if p is None else _pairs_from_packed(p, layout)
+                 for p in packed]
+        if redo:
+            with ThreadPoolExecutor(max_workers=min(8, len(redo))) as ex:
+                for f, pr in zip(redo, ex.map(
+                        lambda f: scan_pairs(parsed[f], layout,
+                                             n_threads=nth), redo)):
+                    pairs[f] = pr
         nnz_max = max(i.size for i, _ in pairs)
         cap = _sparse_cap(nnz_max)
         sparse = _sparse_wins(cap, n64)

@@ -121,16 +121,20 @@ def available() -> bool:
 
 
 def _pack_tables(tabs):
-    """HuffTable sequence -> flat (bits [2*16], vals [2*256]) u8 rows."""
-    bits = np.zeros((2, 16), np.uint8)
-    vals = np.zeros((2, 256), np.uint8)
-    for i, t in enumerate(tabs[:2]):
+    """HuffTable sequence (indexed by table id, None = slot not defined in
+    the file) -> flat (bits [4*16], vals [4*256]) u8 rows. T.81 allows Th
+    0-3 in baseline files; an undefined slot stays all-zero (an empty
+    decoder — callers validate referenced ids against the tables actually
+    present, so it is never consulted)."""
+    bits = np.zeros((4, 16), np.uint8)
+    vals = np.zeros((4, 256), np.uint8)
+    for i, t in enumerate(tabs[:4]):
+        if t is None:
+            continue
         b = np.asarray(t.bits, np.uint8)
         v = np.asarray(t.vals, np.uint8)
         bits[i, :b.size] = b
         vals[i, :v.size] = v
-    if len(tabs) == 1:
-        bits[1], vals[1] = bits[0], vals[0]
     return bits.reshape(-1), vals.reshape(-1)
 
 

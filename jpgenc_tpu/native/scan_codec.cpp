@@ -269,16 +269,19 @@ static int decode_prologue(int n_comps,
                            const uint8_t* data, int64_t data_len,
                            int n_segments, HuffDecoder* dc, HuffDecoder* ac,
                            std::vector<SegBounds>& segs) {
-    for (int t = 0; t < 2; ++t) {
+    for (int t = 0; t < 4; ++t) {
         dc[t].build(dc_bits + 16 * t, dc_vals + 256 * t);
         ac[t].build(ac_bits + 16 * t, ac_vals + 256 * t);
     }
-    // Table ids index the 2-element decoder arrays; reject anything else up
-    // front (the SOS parser accepts Th up to 15 — an unvalidated id here
-    // would read out of bounds).
+    // Table ids index the 4-element decoder arrays (T.81 allows Th 0-3 in
+    // baseline files); reject anything else up front (the SOS parser
+    // accepts Th up to 15 — an unvalidated id here would read out of
+    // bounds). The Python callers additionally validate that each
+    // referenced slot was actually defined in the file; an undefined slot
+    // here is an empty decoder whose first use marks the stream bad.
     for (int c = 0; c < n_comps && c < 4; ++c) {
-        if (comp_dc_tab[c] < 0 || comp_dc_tab[c] > 1 ||
-            comp_ac_tab[c] < 0 || comp_ac_tab[c] > 1)
+        if (comp_dc_tab[c] < 0 || comp_dc_tab[c] > 3 ||
+            comp_ac_tab[c] < 0 || comp_ac_tab[c] > 3)
             return -8;
     }
     if (!find_segments(data, data_len, n_segments, segs)) return -6;
@@ -315,8 +318,8 @@ static inline bool emit_packed_entry(int64_t pos, int64_t i, int32_t v,
 extern "C" {
 
 // data: full stuffed scan (with RSTn markers).
-// comp_dc/ac_tab: table id (0/1) per component.
-// dc_bits/dc_vals: [2][16]/[2][256]; likewise ac.
+// comp_dc/ac_tab: table id (0-3) per component.
+// dc_bits/dc_vals: [4][16]/[4][256]; likewise ac.
 // n_threads: segment-parallel worker count (0 = auto). Restart segments are
 // independent (DC-reset, byte-aligned), so threads decode disjoint segment
 // ranges; each coefficient index belongs to exactly one block of one
@@ -331,7 +334,7 @@ int decode_scan(const uint8_t* data, int64_t data_len,
                 const uint8_t* ac_bits, const uint8_t* ac_vals,
                 int64_t blocks_per_segment, int n_segments, int n_threads,
                 int32_t* out) {
-    HuffDecoder dc[2], ac[2];
+    HuffDecoder dc[4], ac[4];
     std::vector<SegBounds> segs;
     int rc = decode_prologue(n_comps, comp_dc_tab, comp_ac_tab,
                              dc_bits, dc_vals, ac_bits, ac_vals,
@@ -557,7 +560,7 @@ int64_t decode_scan_sparse(const uint8_t* data, int64_t data_len,
                            int64_t blocks_per_segment, int n_segments,
                            int n_threads, int64_t cap,
                            int32_t* idx_out, int16_t* val_out) {
-    HuffDecoder dc[2], ac[2];
+    HuffDecoder dc[4], ac[4];
     std::vector<SegBounds> segs;
     int prc = decode_prologue(n_comps, comp_dc_tab, comp_ac_tab,
                               dc_bits, dc_vals, ac_bits, ac_vals,
@@ -673,7 +676,7 @@ int64_t decode_scan_packed(const uint8_t* data, int64_t data_len,
                            uint8_t* main_out /*[cap_main*2]*/,
                            int32_t* exc_idx, int16_t* exc_val,
                            int64_t* n_exc_out) {
-    HuffDecoder dc[2], ac[2];
+    HuffDecoder dc[4], ac[4];
     std::vector<SegBounds> segs;
     int prc = decode_prologue(n_comps, comp_dc_tab, comp_ac_tab,
                               dc_bits, dc_vals, ac_bits, ac_vals,

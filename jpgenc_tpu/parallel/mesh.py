@@ -705,31 +705,39 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
         upk = dict(zip(uniq, ex.map(
             lambda i: scan_packed(parsed[i], layout, n_threads=nth), uniq)))
     packed = {i: upk[min(i, b - 1)] for i in owned}
-    form = "packed" if all(p is not None for p in packed.values()) else None
-    if form:
-        # SPMD: one cap tuple for the whole mesh, maxed across processes
-        nm = max((p[0].shape[0] for p in packed.values()), default=1)
-        ne = max((p[1].size for p in packed.values()), default=0)
-        if multihost.process_count() > 1:
-            from jax.experimental import multihost_utils
-            nm, ne = (int(x) for x in np.max(
-                multihost_utils.process_allgather(np.array([nm, ne],
-                                                           np.int64)),
-                axis=0))
+    # SPMD: the form gate must AGREE across processes — a process whose
+    # image hit the packed fallback (or whose native build failed) must not
+    # enter a different branch and issue mismatched collectives/jits, so
+    # the agreement bit rides the SAME allgather as the capacity maxima.
+    ok = int(all(p is not None for p in packed.values()))
+    nm = max((p[0].shape[0] for p in packed.values() if p is not None),
+             default=1)
+    ne = max((p[1].size for p in packed.values() if p is not None),
+             default=0)
+    if multihost.process_count() > 1:
+        from jax.experimental import multihost_utils
+        agg = multihost_utils.process_allgather(
+            np.array([ok, nm, ne], np.int64))
+        ok = int(np.min(agg[..., 0]))
+        nm, ne = int(np.max(agg[..., 1])), int(np.max(agg[..., 2]))
+    form = None
+    if ok:
         cap_m, cap_e = _sparse_cap(nm), _exc_cap(ne)
-        if not _packed_wins(cap_m, cap_e, n64):
-            form = None
+        if _packed_wins(cap_m, cap_e, n64):
+            form = "packed"
     if not form:
-        if all(p is not None for p in packed.values()):
-            # packed lost the size race: reuse the decoded streams
-            from jpgenc_tpu.decoder import _pairs_from_packed
-            upairs = {i: _pairs_from_packed(upk[i], layout) for i in uniq}
-        else:
-            with ThreadPoolExecutor(max_workers=min(8, max(len(uniq), 1))) \
-                    as ex:
-                upairs = dict(zip(uniq, ex.map(
+        # pairs fallback: reuse any already-decoded packed stream instead of
+        # entropy-decoding its scan a second time; only frames whose packed
+        # form was unavailable re-decode
+        from jpgenc_tpu.decoder import _pairs_from_packed
+        redo = [i for i in uniq if upk[i] is None]
+        upairs = {i: _pairs_from_packed(upk[i], layout)
+                  for i in uniq if upk[i] is not None}
+        if redo:
+            with ThreadPoolExecutor(max_workers=min(8, len(redo))) as ex:
+                upairs.update(zip(redo, ex.map(
                     lambda i: scan_pairs(parsed[i], layout, n_threads=nth),
-                    uniq)))
+                    redo)))
         pairs = {i: upairs[min(i, b - 1)] for i in owned}
         nnz = max((i.size for i, _ in pairs.values()), default=1)
         if multihost.process_count() > 1:

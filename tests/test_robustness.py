@@ -90,6 +90,48 @@ class TestForeignFiles:
         out = decode(bytes(mutated))
         np.testing.assert_array_equal(out, ref)
 
+    def test_high_table_ids_decode_via_native_path(self, gray_image,
+                                                   monkeypatch):
+        """A legal baseline file using Huffman table ids 2/3 (T.81 allows
+        Th 0-3) must decode through the NATIVE decoder, not the ~1000x
+        slower pure-Python per-bit reader (VERDICT r3 next #6). The Python
+        fallback always builds per-bit LUTs via _decode_lut, so poisoning
+        it proves the native path handled the scan."""
+        from jpgenc_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        data = encode(gray_image, quality=75)
+        ref = decode(data)
+        mutated = bytearray(data)
+        # DHT segments: Tc0 (DC) -> Th 2, Tc1 (AC) -> Th 3
+        i = 0
+        while True:
+            i = mutated.find(b"\xff\xc4", i)
+            if i < 0:
+                break
+            tcth = mutated[i + 4]
+            mutated[i + 4] = (tcth & 0xF0) | (2 if tcth >> 4 == 0 else 3)
+            i += 2
+        # SOS Td/Ta: 0x00 -> 0x23
+        i = mutated.find(b"\xff\xda")
+        mutated[i + 6] = 0x23
+
+        import jpgenc_tpu.decoder as D
+
+        def _boom(*a, **k):
+            raise AssertionError("pure-Python decode path reached for a "
+                                 "native-decodable Th=2/3 file")
+
+        monkeypatch.setattr(D, "_decode_lut", _boom)
+        out = decode(bytes(mutated))
+        np.testing.assert_array_equal(out, ref)
+        # dense native entry point too (decode() rides scan_packed)
+        parsed = parse_jpeg(bytes(mutated))
+        from jpgenc_tpu.decoder import (decode_scan_to_blocks,
+                                        layout_from_parsed)
+        blocks = decode_scan_to_blocks(parsed, layout_from_parsed(parsed))
+        assert blocks.shape[1] == 64
+
     def test_missing_huffman_table_is_valueerror(self, gray_image):
         data = encode(gray_image, quality=75)
         mutated = bytearray(data)
