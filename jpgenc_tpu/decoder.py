@@ -184,6 +184,61 @@ from jpgenc_tpu.utils.lru import LRUCache  # noqa: E402
 #: bounded: one jitted reconstruction per (geometry, batch, sparse) key
 _RECON = LRUCache(32)
 
+#: fused Pallas reconstruction override for tests: None = auto (TPU +
+#: recon_applicable), False = force the XLA path, "interpret" = force the
+#: fused path in Pallas interpret mode (CPU parity tests)
+_FUSED_OVERRIDE: bool | str | None = None
+
+
+def _fused_mode(layout: FrameLayout, devices=None) -> tuple[bool, bool]:
+    """(use fused Pallas reconstruction, interpret) for this layout.
+
+    Deterministic in (layout, target devices, override), so every process
+    of a multi-host job takes the same branch (SPMD form agreement)."""
+    from jpgenc_tpu.ops.pallas.recon import recon_applicable
+    if _FUSED_OVERRIDE is False:
+        return False, False
+    if not recon_applicable(layout):
+        return False, False
+    if _FUSED_OVERRIDE == "interpret":
+        return True, True
+    if _FUSED_OVERRIDE is True:
+        return True, False
+    from jpgenc_tpu.engine import use_pallas_default
+    return use_pallas_default(devices), False
+
+
+_INV_SCAN = LRUCache(64)
+
+
+def _inv_scan(layout: FrameLayout) -> np.ndarray:
+    """flat (component-planar) block index -> scan-order block index."""
+    key = (layout.height, layout.width, layout.subsampling)
+    inv = _INV_SCAN.get(key)
+    if inv is None:
+        inv = np.empty(layout.n_scan, np.int64)
+        inv[np.asarray(layout.scan_flat, np.int64)] = np.arange(layout.n_scan)
+        _INV_SCAN[key] = inv
+    return inv
+
+
+def _scan_space_eidx(eidx: np.ndarray, layout: FrameLayout) -> np.ndarray:
+    """Exception indices from flat coefficient space into scan-position
+    space (the fused kernel's MCU-major input layout)."""
+    e = eidx.astype(np.int64)
+    return _inv_scan(layout)[e >> 6] * 64 + (e & 63)
+
+
+def _q_rows(layout: FrameLayout, qts: list) -> jnp.ndarray:
+    """Per-component [64] natural-order quant tables -> [B, L] f32 zigzag
+    quant rows in the fused kernel's lane order (luma tiled nb times, then
+    Cb, Cr). qts entries are [64] (B=1) or [B, 64]."""
+    c0 = layout.comps[0]
+    nb = c0.hs * c0.vs
+    zz = jnp.asarray(np.asarray(T.ZIGZAG))
+    rows = [q.reshape(-1, 64).astype(jnp.float32)[:, zz] for q in qts]
+    return jnp.concatenate([jnp.tile(rows[0], (1, nb))] + rows[1:], axis=1)
+
 
 def _rows_from_pairs(idx: np.ndarray, val: np.ndarray, size: int,
                      cap: int | None = None) -> np.ndarray:
@@ -423,7 +478,7 @@ def pixel_fn(layout: FrameLayout):
 
 
 def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
-               form: str | None = None):
+               form: str | None = None, interpret: bool = False):
     """One jitted blocks->pixels pipeline per layout geometry (the whole
     reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
     single device dispatch instead of per-component un-jitted helpers).
@@ -438,14 +493,53 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
     - "pairs" (or sparse=True): [3, cap] int16 rows (`_sparsify`)
     - "packed": ([cap, 2] u8 (delta, val_s8) stream, [3, cap_exc] int16
       exception rows) — see `_densify_packed`, 2 bytes/coefficient
+    - "fused_packed"/"fused_packedflat": same packed inputs with exception
+      indices pre-mapped to SCAN-POSITION space (`_scan_space_eidx`); the
+      scatter densifies straight into the MCU-major tensor (no scan-table
+      lookup at all — scan position space IS the MCU-major layout) and the
+      whole reconstruction runs as the fused Pallas kernel
+      (ops/pallas/recon.py) instead of the vmapped XLA chain
     """
     if form is None:
         form = "pairs" if sparse else "dense"
-    key = (layout.height, layout.width, layout.subsampling, batch, form)
+    key = (layout.height, layout.width, layout.subsampling, batch, form,
+           interpret)
     fn = _RECON.get(key)
     if fn is not None:
         return fn
     n_total = sum(c.n_blocks for c in layout.comps)
+
+    if form in ("fused_packed", "fused_packedflat"):
+        from jpgenc_tpu.ops.pallas.recon import fused_recon_rgb
+        c0 = layout.comps[0]
+        L = (c0.hs * c0.vs + 2) * 64
+        my, mx = layout.mcus_y, layout.mcus_x
+        n_scan64 = layout.n_scan * 64
+        B = max(batch, 1)
+
+        def _fused_fn(main, exc, qts):
+            # scan-position space is already MCU-major: scatter positions
+            # directly, no scan_flat lookup. The main scatter is an ADD for
+            # pad-hop int32-wrap safety (pads carry value 0, real positions
+            # are unique — see _densify_packed); exceptions (.set) arrive
+            # pre-mapped to scan space and overwrite their escape bytes.
+            pos = jnp.cumsum(main[:, 0].astype(jnp.int32)) - 1
+            val = jax.lax.bitcast_convert_type(main[:, 1],
+                                               jnp.int8).astype(jnp.int16)
+            flat = jnp.zeros((B * n_scan64,), jnp.int16)
+            flat = flat.at[pos].add(val, mode="drop")
+            eidx = (exc[0].astype(jnp.int32) & 0xFFFF) | \
+                (exc[1].astype(jnp.int32) << 16)
+            flat = flat.at[eidx].set(exc[2], mode="drop")
+            x4 = flat.reshape(B, my, mx, L)
+            out = fused_recon_rgb(x4, _q_rows(layout, qts), layout,
+                                  interpret=interpret)
+            return out if batch else out[0]
+
+        fn = jax.jit(_fused_fn)
+        _RECON[key] = fn
+        return fn
+
     _pix = pixel_fn(layout)
 
     if form in ("packed", "packedflat"):
@@ -593,6 +687,14 @@ def decode(data: bytes, to_device: bool = False):
                for q in _qts_of(parsed)]
         cap_m, cap_e = _sparse_cap(main.shape[0]), _exc_cap(eidx.size)
         if _packed_wins(cap_m, cap_e, n64):
+            fused, interp = _fused_mode(layout)
+            if fused:
+                mp, exc = _pad_packed(main, _scan_space_eidx(eidx, layout),
+                                      evals, cap_m, cap_e, n64)
+                out = _recon_jit(layout, form="fused_packed",
+                                 interpret=interp)(
+                    jnp.asarray(mp), jnp.asarray(exc), qts)
+                return out if to_device else np.asarray(out)
             mp, exc = _pad_packed(main, eidx, evals, cap_m, cap_e, n64)
             out = _recon_jit(layout, form="packed")(
                 jnp.asarray(mp), jnp.asarray(exc), qts)
@@ -677,7 +779,13 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
     use_packed = (all(p is not None for p in packed)
                   and (chunk + 1) * n_scan64 < 2**31)
     flats = None
+    fused = interp = False
     if use_packed:
+        fused, interp = _fused_mode(layout)
+        if fused:
+            # the fused kernel wants exceptions in scan-position space
+            packed = [(m, _scan_space_eidx(e, layout), v)
+                      for (m, e, v) in packed]
         # chunk-flat streams: exact-size upload + ONE scatter per chunk
         # (per-frame cap buckets waste up to 2x of the link — measured)
         flats = [_flatten_packed(packed[c0:c0 + chunk], n_scan64, n64)
@@ -714,7 +822,9 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
         qts = [q[c0:c0 + nb] for q in qts_all]
         if use_packed:
             mp, exc = _pad_packed(*flats[ci], cap_m, cap_e, nb * n64)
-            outs_d.append(_recon_jit(layout, batch=nb, form="packedflat")(
+            form = "fused_packedflat" if fused else "packedflat"
+            outs_d.append(_recon_jit(layout, batch=nb, form=form,
+                                     interpret=interp)(
                 jnp.asarray(mp), jnp.asarray(exc), qts))
         elif sparse:
             rows = pairs[c0:c0 + chunk]

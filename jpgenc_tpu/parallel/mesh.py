@@ -646,8 +646,9 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
 
     from jpgenc_tpu.container.parser import parse_jpeg
     from jpgenc_tpu.decoder import (_densify, _densify_packed, _exc_cap,
-                                    _pad_packed, _packed_wins, _qts_of,
-                                    _rows_from_pairs, _sparse_cap,
+                                    _fused_mode, _pad_packed, _packed_wins,
+                                    _q_rows, _qts_of, _rows_from_pairs,
+                                    _scan_space_eidx, _sparse_cap,
                                     _sparse_wins, layout_from_parsed,
                                     pixel_fn, scan_packed, scan_pairs)
     from jpgenc_tpu.parallel import multihost
@@ -721,10 +722,15 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
         ok = int(np.min(agg[..., 0]))
         nm, ne = int(np.max(agg[..., 1])), int(np.max(agg[..., 2]))
     form = None
+    fused_interp = False
     if ok:
         cap_m, cap_e = _sparse_cap(nm), _exc_cap(ne)
         if _packed_wins(cap_m, cap_e, n64):
-            form = "packed"
+            # deterministic in (layout, mesh devices), so every process
+            # agrees without another collective
+            fused, fused_interp = _fused_mode(layout,
+                                              list(mesh.devices.flat))
+            form = "fused_packed" if fused else "packed"
     if not form:
         # pairs fallback: reuse any already-decoded packed stream instead of
         # entropy-decoding its scan a second time; only frames whose packed
@@ -748,13 +754,17 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
         form = "pairs" if _sparse_wins(cap, n64) else "dense"
 
     qt = np.zeros((B, n_comps, 64), np.int32)
-    if form == "packed":
+    if form in ("packed", "fused_packed"):
         mains = np.zeros((B, cap_m, 2), np.uint8)
         mains[..., 0] = 255                    # phantom pads for unowned rows
         excs = np.zeros((B, 3, cap_e), np.int16)
         excs[:, :2, :] = np.int16(-1)          # idx -1: dropped by scatter
         for i in owned:
-            mains[i], excs[i] = _pad_packed(*packed[i], cap_m, cap_e, n64)
+            m_i, e_i, v_i = packed[i]
+            if form == "fused_packed":
+                # the fused kernel's scatter targets scan-position space
+                e_i = _scan_space_eidx(e_i, layout)
+            mains[i], excs[i] = _pad_packed(m_i, e_i, v_i, cap_m, cap_e, n64)
         ins = (mains, excs)
         sh_in = (NamedSharding(mesh, P("batch", None, None)),) * 2
     elif form == "pairs":
@@ -777,12 +787,36 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
     sh_img = NamedSharding(
         mesh, P("batch", *([None] * (2 if layout.is_gray else 3))))
 
-    fkey = (layout.height, layout.width, layout.subsampling, mesh, B, form)
+    fkey = (layout.height, layout.width, layout.subsampling, mesh, B, form,
+            fused_interp)
     fn = _DEC_FNS.get(fkey)
     if fn is None:
         _pix = pixel_fn(layout)
 
-        if form == "packed":
+        if form == "fused_packed":
+            from jpgenc_tpu.ops.pallas.recon import fused_recon_rgb
+            c0 = layout.comps[0]
+            L = (c0.hs * c0.vs + 2) * 64
+            my, mx = layout.mcus_y, layout.mcus_x
+            n_scan64 = layout.n_scan * 64
+            interp = fused_interp
+
+            def _dec1(m1, e1, qt1):
+                # scan-position space IS the MCU-major kernel layout: the
+                # main scatter needs no scan-table lookup (add for pad-hop
+                # wrap safety, exceptions .set pre-mapped — decoder notes)
+                pos = jnp.cumsum(m1[:, 0].astype(jnp.int32)) - 1
+                val = jax.lax.bitcast_convert_type(
+                    m1[:, 1], jnp.int8).astype(jnp.int16)
+                flat = jnp.zeros((n_scan64,), jnp.int16)
+                flat = flat.at[pos].add(val, mode="drop")
+                eidx = (e1[0].astype(jnp.int32) & 0xFFFF) | \
+                    (e1[1].astype(jnp.int32) << 16)
+                flat = flat.at[eidx].set(e1[2], mode="drop")
+                x4 = flat.reshape(1, my, mx, L)
+                qr = _q_rows(layout, [qt1[i] for i in range(n_comps)])
+                return fused_recon_rgb(x4, qr, layout, interpret=interp)[0]
+        elif form == "packed":
             sf_ext = jnp.asarray(np.append(
                 np.asarray(layout.scan_flat, np.int64),
                 n_total).astype(np.int32))
