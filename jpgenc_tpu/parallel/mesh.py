@@ -317,15 +317,26 @@ def _build_tables_from_freq(freq: np.ndarray, n_tabs: int):
     return dc, ac
 
 
-def _batch_setup(imgs: np.ndarray, cfg: EncodeConfig, mesh):
-    """Shared prologue: mesh resolution, batch padding, plan + executables."""
-    imgs = np.ascontiguousarray(imgs)
+def _batch_setup(imgs, cfg: EncodeConfig, mesh):
+    """Shared prologue: mesh resolution, batch padding, plan + executables.
+
+    `imgs` may be a host [B, H, W(, 3)] uint8 array OR a device-resident
+    jax.Array (the producer interface: frames already in HBM — e.g.
+    decode_batch(to_device=True) output or a data-pipeline tensor — skip
+    the host staging entirely)."""
+    is_dev = isinstance(imgs, jax.Array)
+    if not is_dev:
+        imgs = np.ascontiguousarray(imgs)
     mesh = _as_mesh(mesh)
     if mesh is None:
         mesh = default_mesh()
     n_dev = mesh.devices.size
     b = imgs.shape[0]
     pad = (-b) % n_dev
+    if pad and is_dev:
+        raise ValueError(
+            f"device-resident batch of {b} must divide the mesh's "
+            f"{n_dev} devices (host batches are padded automatically)")
     if pad:  # round the batch up to the mesh size; padded outputs are dropped
         imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)
     mode = "gray" if imgs.ndim == 3 else cfg.subsampling
@@ -362,6 +373,12 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     `staged` accepts the result of stage_batch(imgs, ...) to reuse an upload
     already in flight. dct_method='islow' selects the libjpeg-exact integer
     pipeline (files byte-identical to libjpeg-turbo per image).
+
+    `imgs` may also be a DEVICE-RESIDENT [B, H, W(, 3)] uint8 jax.Array
+    (the producer interface): frames already in HBM — decode_batch(
+    to_device=True) output, a training-pipeline tensor — encode without any
+    host pixel staging (device-to-device reshard only if the sharding
+    differs). B must divide the mesh size.
     """
     cfg = EncodeConfig(quality=quality, subsampling=subsampling,
                        restart_interval=restart_interval,
@@ -370,6 +387,9 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
     qt_host, qt_dev = qtables_for_quality(cfg.quality)
     if staged is not None:
         imgs, imgs_dev = staged
+    elif isinstance(imgs, jax.Array):
+        imgs_dev = imgs if imgs.sharding == fns["sharding_img"] else \
+            jax.device_put(imgs, fns["sharding_img"])
     else:
         imgs_dev = put_batch(imgs, fns["sharding_img"])
 
@@ -431,7 +451,13 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
                 scan, ok = plan.entropy_scan_bytes_zz(zz_rows[i][0], luts_i,
                                                       cap_u3, 56)
             else:
-                scan, ok = plan.encode_scan_bytes(np.asarray(imgs[i]), qt_dev,
+                if isinstance(imgs, jax.Array):
+                    # device-resident input: fetch only the owned row
+                    # (global indexing raises on multi-host shardings)
+                    img_i = _local_rows(imgs)[i][0]
+                else:
+                    img_i = np.asarray(imgs[i])
+                scan, ok = plan.encode_scan_bytes(img_i, qt_dev,
                                                   luts, cap_u3, 56)
             assert ok, "worst-tier device finalize cannot overflow"
             local[i] = hdr + scan + b"\xff\xd9"
@@ -445,6 +471,15 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
 # ---------------------------------------------------------------------------
 # Stripe mode: one large image across chips
 # ---------------------------------------------------------------------------
+
+def _owns_stripe(arr, s: int) -> bool:
+    """True when stripe row `s` of the stripe-sharded array lives on one of
+    this process's devices."""
+    return any((sh.index[0].start or 0) <= s
+               < (arr.shape[0] if sh.index[0].stop is None
+                  else sh.index[0].stop)
+               for sh in arr.addressable_shards)
+
 
 def _stripe_geometry(layout_h: int, mcu_h: int, n_stripes: int) -> int:
     """Rows of MCUs per stripe (ceil — the tail stripe may be ragged)."""
@@ -473,16 +508,20 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     segments are dropped from the emitted scan, and the default DRI becomes
     one MCU row so every kept segment covers whole real rows. An explicit
     `restart_interval` must then divide the MCUs per row. Ragged `optimize`
-    histograms include the tail's padding rows (SPMD shapes are static), so
-    tables are spec-valid but can differ from the unsharded encode's;
-    coefficients — and therefore decoded pixels — are identical.
+    histograms are corrected for the padding rows the SPMD pass counted
+    (owner-computed deltas, allgathered), so the custom tables equal the
+    unsharded encode's.
 
     dct_method='islow' uses the libjpeg-exact integer pipeline per stripe;
-    the striped file is byte-identical to libjpeg-turbo's (image + same DRI)
-    when the image dims are MCU multiples. For non-aligned dims the stripes
-    share one padded layout, so the edge MCUs use our replicate-pad
-    convention instead of libjpeg's dummy-block rule (still spec-valid and
-    deterministic — use api.encode for exact parity on such dims).
+    the striped file is byte-identical to libjpeg-turbo's (image + same
+    DRI) for ALL dims: stripe layouts carry the TRUE image width (so
+    ops/islow's dummy-column rule applies uniformly), and when the image
+    height is not an MCU multiple the last live stripe is re-encoded
+    locally under its true-height layout (libjpeg's dummy-row chains),
+    replacing its SPMD result — the same local-redo shape as the
+    capacity-overflow retry. With optimize=True the SPMD histogram's
+    padding-row counts are corrected by an exchanged delta first, so the
+    custom tables also match the unsharded encode's.
     """
     img = np.ascontiguousarray(img)
     if isinstance(mesh, MeshConfig):
@@ -529,15 +568,28 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     last_live = max(s for s in range(n_stripes) if segs_kept[s] > 0)
 
     # replicate-pad on host (ragged: out to the equal-stripe height — SPMD
-    # needs one sub-image shape), then view as a batch of stripe sub-images
+    # needs one sub-image shape), then view as a batch of stripe sub-images.
+    # Width stays the TRUE image width: each stripe's layout then applies
+    # the same horizontal edge convention as api.encode (for islow, the
+    # libjpeg dummy-column rule) instead of seeing pre-padded pixels.
     ph_s = n_stripes * rows_per_stripe * mcu_h
-    pad_spec = [(0, ph_s - h), (0, pw - w)] + \
+    pad_spec = [(0, ph_s - h), (0, 0)] + \
         ([(0, 0)] if img.ndim == 3 else [])
     padded = np.pad(img, pad_spec, mode="edge")
-    stripes = padded.reshape((n_stripes, rows_per_stripe * mcu_h, pw)
+    stripes = padded.reshape((n_stripes, rows_per_stripe * mcu_h, w)
                              + ((3,) if img.ndim == 3 else ()))
 
-    stripe_layout = make_layout(stripes.shape[1], pw, mode, r)
+    stripe_layout = make_layout(stripes.shape[1], w, mode, r)
+    # libjpeg's vertical dummy-row geometry exists only where the TRUE
+    # image bottom edge sits mid-MCU — the last live stripe; its scan is
+    # re-encoded locally under the true-height layout below (islow only:
+    # the float path's replicate-pad convention matches api.encode as-is)
+    tail_fix = (dct_method == "islow") and (h % mcu_h != 0)
+    tail_h = h - last_live * rows_per_stripe * mcu_h
+    tail_img = img[last_live * rows_per_stripe * mcu_h:h]
+    tail_layout = make_layout(tail_h, w, mode, r) if tail_fix else None
+    if tail_fix:
+        assert tail_layout.n_segments == segs_kept[last_live]
     plan = get_plan(stripe_layout)
     caps = (scan_caps(stripe_layout, quality, "tight")[0],
             w_blk_for_quality(quality))
@@ -551,6 +603,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     if islow:
         EncodeConfig(quality=quality, subsampling=subsampling,
                      dct_method=dct_method)   # validate
+    tail_zz = None
     if optimize:
         # K1 + global histogram in one dispatch (psum over the stripe axis —
         # ICI collective on TPU)
@@ -558,6 +611,42 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
                         else fns["zz_hist_sum"])(stripes_dev, qt_dev,
                                                  plan.plan)
         freq = np.asarray(freq_dev)
+        # Stripes containing rows the unsharded encode never histograms
+        # (ragged padding rows, or the islow tail whose dummy-row geometry
+        # differs from replicate-pad) get their SPMD contribution swapped
+        # for the true one, so the custom tables equal the unsharded
+        # encode's for ALL dims. Owners compute the deltas locally; every
+        # process calls the allgather (uniform collective).
+        fix = {s for s in range(n_stripes)
+               if rows_kept[s] < rows_per_stripe}
+        if tail_fix:
+            fix.add(last_live)
+        if fix:
+            def _hist(p, im):
+                f = (p.zz_islow_and_histogram if islow
+                     else p.zz_and_histogram)
+                return f(jnp.asarray(np.ascontiguousarray(im)), qt_dev)
+
+            delta = np.zeros_like(freq)
+            for s in sorted(fix):
+                if not _owns_stripe(stripes_dev, s):
+                    continue
+                delta = delta - np.asarray(_hist(plan, stripes[s])[1])
+                if rows_kept[s]:
+                    # only the boundary stripe keeps rows; its true
+                    # contribution uses the tail layout (libjpeg dummy
+                    # rows for islow, replicate-pad for float)
+                    tlay = make_layout(tail_h, w, mode, r)
+                    zz_s, f_true = _hist(get_plan(tlay), tail_img)
+                    delta = delta + np.asarray(f_true)
+                    if tail_fix:
+                        tail_zz = zz_s
+            from jpgenc_tpu.parallel import multihost
+            if multihost.process_count() > 1:
+                from jax.experimental import multihost_utils
+                delta = np.sum(multihost_utils.process_allgather(delta),
+                               axis=0)
+            freq = freq + delta
         dc_tables, ac_tables = _build_tables_from_freq(freq, n_tabs)
         luts = luts_from_tables(dc_tables, ac_tables)
         u, nbytes, ovf = fns["entropy_bytes_shared"](zz, plan.plan, luts)
@@ -588,6 +677,20 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
         g0 = int(seg_off[s])
         # trailing RSTn after every kept segment except the scan's last
         n_rst_s = segs_kept[s] - (1 if s == last_live else 0)
+        if s == last_live and tail_fix:
+            # libjpeg dummy-row geometry: re-encode the tail stripe locally
+            # under its TRUE-height layout (same local-redo shape as the
+            # overflow retry below), discarding its SPMD result
+            tplan = get_plan(tail_layout)
+            cap_u3 = scan_caps(tail_layout, quality, "worst")[0]
+            if tail_zz is None:
+                tail_zz = tplan.zz_scan_islow(jnp.asarray(tail_img), qt_dev)
+            part, ok = tplan.entropy_scan_bytes_zz(
+                tail_zz, luts, cap_u3, 56,
+                first_rst=g0, n_rst=n_rst_s, n_seg_keep=segs_kept[s])
+            assert ok, "worst-tier device finalize cannot overflow"
+            local[s] = part
+            continue
         if bool(ov) or int(seg_nwords_aligned(nb).sum()) > caps[0] // 4:
             # rare: redo only this stripe's device finalize at the
             # never-overflowing worst tier on this process's devices

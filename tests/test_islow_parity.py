@@ -209,3 +209,37 @@ def test_islow_jnp_matches_numpy_ref(mode):
         got = np.asarray(jax.jit(
             lambda x, q, lay=layout: dev(x, lay, q))(img, qtabs))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_striped_islow_byte_parity_odd_dims():
+    """encode_striped(dct_method='islow') on NON-MCU-aligned dims: the
+    stripe layouts carry the true width (dummy-column rule) and the tail
+    stripe re-encodes under its true-height layout (dummy-row chains), so
+    the file is byte-identical to libjpeg for all dims (VERDICT r3 #7)."""
+    from jpgenc_tpu.parallel.mesh import encode_striped
+
+    # ragged color: 61 rows -> 4 MCU rows of 16 (3 stripes: 2+1+1 kept);
+    # odd width 77 -> 5 MCUs/row, default ragged DRI = 5
+    img = synth_frame(61, 77)
+    data = encode_striped(img, n_stripes=3, quality=75, subsampling="420",
+                          dct_method="islow")
+    assert data == _pillow(img, 75, "420", restart_marker_rows=1)
+
+    # non-ragged gray with a mid-MCU bottom edge: 39 rows -> 5 block rows,
+    # 5 stripes of 1 row each; DRI = 7 MCUs (one row at width 50)
+    gray = synth_frame(39, 50)[:, :, 0]
+    data = encode_striped(gray, n_stripes=5, quality=90, dct_method="islow")
+    assert data == _pillow(gray, 90, "gray", restart_marker_rows=1)
+
+
+def test_striped_islow_optimize_byte_parity_odd_dims():
+    """optimize=True over the islow stripe lane on odd dims: the SPMD
+    histogram's padding-row counts are corrected before table building, so
+    the custom-table file matches libjpeg's optimize=True output exactly."""
+    from jpgenc_tpu.parallel.mesh import encode_striped
+
+    img = synth_frame(45, 64)            # 3 MCU rows, ragged over 2 stripes
+    data = encode_striped(img, n_stripes=2, quality=75, subsampling="420",
+                          optimize=True, dct_method="islow")
+    assert data == _pillow(img, 75, "420", optimize=True,
+                           restart_marker_rows=1)

@@ -179,11 +179,31 @@ def test_striped_ragged_validation(rng):
 
 
 def test_striped_ragged_optimize_decodes(gray_image):
-    """Ragged + optimize: tables may differ from unsharded (padding rows in
-    the histogram) but must be spec-valid — coefficients and pixels equal
-    the unsharded encode's."""
+    """Ragged + optimize: the SPMD histogram's padding-row counts are
+    corrected (owner deltas), so the custom tables — and the whole file —
+    equal the unsharded encode's."""
     data = encode_striped(gray_image, n_stripes=3, restart_interval=16,
                           optimize=True)
     single = api.encode(gray_image, quality=75, restart_interval=16,
                         optimize=True)
+    assert data == single
     np.testing.assert_array_equal(decode(data), decode(single))
+
+
+def test_encode_batch_device_resident_transcode(rng):
+    """Producer interface (SURVEY layer G / ledger roadmap #1):
+    decode_batch(to_device=True) pixels feed encode_batch DIRECTLY — a
+    device-resident transcode with no host pixel staging — and the bytes
+    equal the host-pixel encode's."""
+    from jpgenc_tpu.parallel.mesh import decode_batch as decode_sharded
+
+    imgs = _batch(rng, 8, 64, 80, 3)
+    files = [api.encode(imgs[i], quality=90, subsampling="420")
+             for i in range(8)]
+    dev = decode_sharded(files)                      # [8, H, W, 3] in HBM
+    out_dev = encode_batch(dev, quality=75, subsampling="420")
+    ref = encode_batch(np.asarray(dev), quality=75, subsampling="420")
+    assert out_dev == ref
+
+    with pytest.raises(ValueError):                  # 3 doesn't divide 8
+        encode_batch(dev[:3], quality=75, subsampling="420")
