@@ -527,7 +527,12 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
             val = jax.lax.bitcast_convert_type(main[:, 1],
                                                jnp.int8).astype(jnp.int16)
             flat = jnp.zeros((B * n_scan64,), jnp.int16)
-            flat = flat.at[pos].add(val, mode="drop")
+            # deltas are all >= 1, so positions are strictly increasing and
+            # unique — tell the scatter (safe while the cumsum cannot wrap)
+            hints = B * n_scan64 + 255 * main.shape[0] < 2**31
+            flat = flat.at[pos].add(val, mode="drop",
+                                    indices_are_sorted=hints,
+                                    unique_indices=hints)
             eidx = (exc[0].astype(jnp.int32) & 0xFFFF) | \
                 (exc[1].astype(jnp.int32) << 16)
             flat = flat.at[eidx].set(exc[2], mode="drop")

@@ -87,14 +87,21 @@ def w_blk_for_quality(quality: int) -> int:
     tier, then the 56-word worst tier that covers MAX_BLOCK_BITS and can
     never overflow).
 
-    High qualities use 24 — the largest tier the fused K1A kernel accepts
-    (k1a_applicable): staying on the single-kernel pixels->packed path
-    beats a roomier split-path tier (measured 1080p DRI120: Q85 719 vs 537
-    MPix/s, Q95 485 vs 400; Q90 is the one mild exception, 495 vs 544).
-    Pathological content overflows to the ladder's bigger tiers as before.
+    Q81-95 use 16: per-block word statistics measured across a smooth
+    fixture, sigma-60 noise, hard edges and dense texture top out at 15
+    words at Q95 (docs/PERFORMANCE.md round 4), so 16 covers hard content
+    with the narrowest fused merge. Same-process A/B runs put w_blk 16/24/
+    32 within the tunnel's +-15% noise (the rows mix tier-width compute
+    with content-byte D2H), while the split-path w_blk=32 alternative
+    re-measured strictly SLOWER than fused (Q90 541 vs ~700, Q95 419 vs
+    ~480), retiring the r3 Q90 anomaly. Q96+ keep 24 (extreme-quality
+    noise can exceed 16 words/block and a first-tier overflow costs a full
+    ladder retry). Pathological content escalates as before.
     """
     if quality <= 80:
         return 8
+    if quality <= 95:
+        return 16
     return 24
 
 

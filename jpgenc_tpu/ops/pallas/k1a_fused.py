@@ -136,12 +136,14 @@ def _k1a_kernel(x_ref, m_ref, bias_ref, q_ref,
         for p in range((nb + 2) // 2):
             bL, bR = 2 * p, 2 * p + 1
             v2 = v[:, bL * 64:(bR + 1) * 64]         # [mx, 128], offset 0
-            pair = _pair_entropy(v2, dcdiff[bL], dcdiff[bR],
-                                 0 if bL < nb else 1, 0 if bR < nb else 1,
-                                 ac_rows_ref, dc_rows_ref, misc_ref,
-                                 mx, w_blk)
-            bufs.extend(pair[0])
-            tots.extend(pair[1])
+            # direct stores into the output block: the merge then holds
+            # O(1) live vectors instead of O(w_blk) on the scoped-VMEM
+            # stack, which is what capped the fused path at w_blk=24
+            tots.extend(_pair_entropy(
+                v2, dcdiff[bL], dcdiff[bR],
+                0 if bL < nb else 1, 0 if bR < nb else 1,
+                ac_rows_ref, dc_rows_ref, misc_ref, mx, w_blk,
+                out_ref=buf_ref, base_l=bL * w_blk, base_r=bR * w_blk))
     else:
         for blk in range(nb + 2):
             tab = 0 if blk < nb else 1
@@ -169,13 +171,15 @@ def _k1a_kernel(x_ref, m_ref, bias_ref, q_ref,
             bufs.append(jax.lax.bitcast_convert_type(buf, _I32))
             tots.append(total)
 
-    buf_ref[:] = jax.lax.bitcast_convert_type(
-        jnp.concatenate(bufs, axis=1), jnp.uint32)   # [mx, (nb+2)*w_blk]
+    if bufs:                                         # odd-group (444) path
+        buf_ref[:] = jax.lax.bitcast_convert_type(
+            jnp.concatenate(bufs, axis=1), jnp.uint32)
     bits_ref[:] = jnp.concatenate(tots, axis=1)      # [mx, nb+2]
 
 
 def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
-                  ac_rows_ref, dc_rows_ref, misc_ref, mx: int, w_blk: int):
+                  ac_rows_ref, dc_rows_ref, misc_ref, mx: int, w_blk: int,
+                  out_ref=None, base_l: int = 0, base_r: int = 0):
     """Entropy + per-block pack for TWO zigzag blocks sharing one 128-lane
     row (left half lanes 0-63, right half 64-127).
 
@@ -184,8 +188,15 @@ def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
     identity for both the max-prefix and the sum-prefix), so nothing leaks
     between the two blocks. The Huffman gathers run at the full 128-lane
     width Mosaic requires — no pad-and-slice, and both halves gather in one
-    instruction. Returns ([2*w_blk] list of [mx, 1] word columns, block-
-    major: left block's words then right's, plus [tot_l, tot_r])."""
+    instruction.
+
+    With out_ref (the caller's [mx, (nb+2)*w_blk] u32 output block), each
+    merged word column is STORED immediately at lane base_l/base_r + w
+    instead of accumulating a live column list — the unrolled merge then
+    holds O(1) live vectors per step instead of O(w_blk), which is what
+    capped the fused path at w_blk=24 on Mosaic's ~16 MB scoped-VMEM stack.
+    Returns [tot_l, tot_r] ([mx, 1] bit totals); without out_ref, returns
+    ([2*w_blk] list of [mx, 1] word columns, [tot_l, tot_r])."""
     from jpgenc_tpu.ops.pack import _shift_into_word
     from jpgenc_tpu.ops.pallas.block_pack import _lane_shift_right, _shl, _ssss
 
@@ -306,7 +317,35 @@ def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
         hi_w = reg[j - 1] if 1 <= j <= 3 else jnp.zeros((t, 128), _U32)
         w4.append(_shift_into_word(lo_w, -r) | _shift_into_word(hi_w, 32 - r))
 
-    # --- merge: per-word masked accumulation, then per-half lane sums
+    # --- merge: per-word masked accumulation, then per-half lane sums.
+    # Every [mx, 1] column buffer lane-pads to a full 128-lane VMEM tile
+    # (~mx*512 B), so a column LIST over all blocks is what blew Mosaic's
+    # ~16 MB scoped stack at w_blk > 24 (the measured 5.04 KB/unit model).
+    # With out_ref, columns are flushed in 8-word chunk stores, bounding
+    # the live set to ~8 columns regardless of w_blk.
+    if out_ref is not None:
+        ch = 8 if w_blk % 8 == 0 else w_blk
+        cl, cr = [], []
+        for w in range(w_blk):
+            acc = jnp.zeros((t, 128), _I32)
+            for j in range(4):
+                acc = acc | jnp.where(
+                    d == w - j,
+                    jax.lax.bitcast_convert_type(w4[j], _I32), 0)
+            cl.append(jnp.sum(jnp.where(left, acc, 0), axis=1,
+                              keepdims=True))
+            cr.append(jnp.sum(jnp.where(left, 0, acc), axis=1,
+                              keepdims=True))
+            if len(cl) == ch:
+                w0 = w + 1 - ch
+                out_ref[:, base_l + w0:base_l + w0 + ch] = \
+                    jax.lax.bitcast_convert_type(
+                        jnp.concatenate(cl, axis=1), jnp.uint32)
+                out_ref[:, base_r + w0:base_r + w0 + ch] = \
+                    jax.lax.bitcast_convert_type(
+                        jnp.concatenate(cr, axis=1), jnp.uint32)
+                cl, cr = [], []
+        return [tot_l, tot_r]
     cols_l, cols_r = [], []
     for w in range(w_blk):
         acc = jnp.zeros((t, 128), _I32)
@@ -426,32 +465,40 @@ def _fused_gray(img: jnp.ndarray, layout: FrameLayout, qtabs: jnp.ndarray,
 
 def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
     """Static gate: MCU-row DMA block in budget (mirrors k1_dct's dense-DMA
-    gate) and a first/safe-tier w_blk. Oversize rows and the 56-word worst
-    tier use the split K1 / kernel-A pipeline (the unrolled per-word merge
-    holds ~w_blk live [mx, 128] vectors — at w_blk=56 the scoped-VMEM stack
-    overflows Mosaic's 16 MB limit; the worst tier only runs on rare
-    pathological-content retries). Gray runs `_k1a_gray_kernel` (one 8x8
-    block per MCU) under the same mcus_x % 8 tiling rule."""
-    if w_blk > 24:
+    gate) and a supported w_blk tier. Oversize rows and the 56-word worst
+    tier use the split K1 / kernel-A pipeline. Gray runs `_k1a_gray_kernel`
+    (one 8x8 block per MCU) under the same mcus_x % 8 tiling rule.
+
+    The paired merge flushes word columns in 8-word chunk stores (see
+    `_pair_entropy`), so its scoped-VMEM live set no longer scales with
+    w_blk — the old ~5.04 KB per w_blk*mcus_x model (29 MB at w_blk=24 x
+    4K) is obsolete, and w_blk=32 is compile-validated on hardware at
+    1080p. The cap stays at 32 because wider tiers measured strictly
+    slower anyway (merge instruction count scales with w_blk); the gray /
+    444 paths still build _pack_slots column lists (one block at a time,
+    w_blk lane-padded [mx, 1] columns ~= w_blk*mx*512 B live), which the
+    estimate below includes."""
+    if w_blk > 32:
         return False
     if layout.mcus_x % 8:
         # output BlockSpecs are [mcus_x, ...] tiles: Mosaic requires the
         # sublane dim divisible by 8 (found via an odd-width 480px encode)
         return False
-    # the unrolled per-word merge holds ~w_blk live [mcus_x, 128] vectors
-    # on Mosaic's 16 MB scoped-VMEM stack: measured 29.05 MB at
-    # w_blk=24 x mcus_x=240 (4K) -> ~5.04 KB per w_blk*mcus_x unit. Gate
-    # with headroom; oversize combinations use the split K1 + kernel-A
-    # pipeline (e.g. 4K at Q>80 tiers).
-    if w_blk * layout.mcus_x * 5200 > (15 << 20):
-        return False
     if layout.is_gray:
-        # the dominant per-step tile for gray is the lane-padded
-        # [mx, w_blk->128] u32 output block (mx*128*4 B — always larger
-        # than the [mx, 64] f32 input's 256*mx B); gating on the input
-        # alone would admit oversize tiles for very wide images
-        return layout.mcus_x * 128 * 4 <= (4 << 20)
+        # _pack_slots column list + the lane-padded [mx, w_blk->128] u32
+        # output block dominate
+        est = layout.mcus_x * (w_blk * 512 + 128 * 4 + 64 * 8)
+        return est <= (8 << 20)
     c0 = layout.comps[0]
+    nb = c0.hs * c0.vs
+    # live set per grid step: v/xf [mx, (nb+2)*64] i32+f32, ~24 [mx, 128]
+    # temp vectors, the output block, and (444 only) one block's
+    # _pack_slots columns
+    cols = 0 if (nb + 2) % 2 == 0 else w_blk * 512
+    est = layout.mcus_x * ((nb + 2) * 64 * 8 + 24 * 128 * 4
+                           + (nb + 2) * w_blk * 4 + cols)
+    if est > (10 << 20):
+        return False
     return 8 * c0.vs * layout.mcus_x * 128 * 4 <= (4 << 20)
 
 

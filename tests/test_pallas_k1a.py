@@ -25,7 +25,7 @@ CASES = [
 
 
 @pytest.mark.parametrize("h,w,sub,dri", CASES)
-@pytest.mark.parametrize("w_blk", [8, 24])
+@pytest.mark.parametrize("w_blk", [8, 16, 24])
 def test_fused_k1a_matches_split_pipeline(h, w, sub, dri, w_blk, rng):
     from jpgenc_tpu.engine import (get_plan, luts_from_tables,
                                    qtables_for_quality)
@@ -71,15 +71,18 @@ def test_k1a_gate():
     assert not k1a_applicable(make_layout(64, 120, "gray", 0))
 
 
-def test_k1a_gate_rejects_oversize_scoped_vmem():
-    """The unrolled merge holds ~w_blk live [mcus_x, 128] vectors on the
-    16 MB scoped-VMEM stack: w_blk=24 at 4K width compiled to a 29 MB
-    stack and died at compile time (found via a 4K Q95 encode after the
-    high-quality tier change). The gate must reject that combination and
-    keep accepting the measured-good ones."""
+def test_k1a_gate_scoped_vmem_model():
+    """The paired merge now flushes word columns in 8-word chunk stores
+    (_pair_entropy), so the live set no longer scales with w_blk: the old
+    w_blk=24-at-4K rejection (29 MB column list) is obsolete and those
+    combinations are accepted. Tiers past the hardware-validated 32 and
+    oversize rows still fall back."""
     from jpgenc_tpu.layout import make_layout
     from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
     assert k1a_applicable(make_layout(1080, 1920, "420", 0), 8)
+    assert k1a_applicable(make_layout(1080, 1920, "420", 0), 16)
     assert k1a_applicable(make_layout(1080, 1920, "420", 0), 24)
-    assert k1a_applicable(make_layout(2160, 3840, "420", 0), 8)
-    assert not k1a_applicable(make_layout(2160, 3840, "420", 0), 24)
+    assert k1a_applicable(make_layout(1080, 1920, "420", 0), 32)
+    assert k1a_applicable(make_layout(2160, 3840, "420", 0), 16)
+    assert k1a_applicable(make_layout(2160, 3840, "420", 0), 24)
+    assert not k1a_applicable(make_layout(1080, 1920, "420", 0), 56)
