@@ -320,11 +320,11 @@ def main() -> None:
     def cdec():
         from jpgenc_tpu.api import decode as decode_one
         from jpgenc_tpu.api import decode_batch
-        # operating point: 64 frames in 16-frame chunks (measured 266-286
-        # MPix/s vs 244 at 32x8 after the one-upload quant tables; larger
-        # batches idle in the pipeline-fill tradeoff and stage more bytes
-        # against the ~1.3 GB pool)
-        nb_dec, ch = 64, 16
+        # operating point: 64 frames in 32-frame chunks — with the fused
+        # Pallas reconstruction the per-chunk dispatch/sync overhead
+        # dominates smaller chunks (r4 retune: 284/388/429 MPix/s at chunk
+        # 8/16/32; decode is upload-link-bound past that)
+        nb_dec, ch = 64, 32
         files = [outs[i % B_UP] for i in range(nb_dec)]
         # PRIMARY: device-resident decode (to_device=True) — pixels stay in
         # HBM for a training input pipeline, the production decode shape

@@ -196,6 +196,41 @@ def _operators(hs: int, vs: int) -> dict:
     return ops
 
 
+@functools.lru_cache(maxsize=2)
+def _gray_operator() -> tuple[np.ndarray, np.ndarray]:
+    """[64, 512] dequantized-zigzag -> byte-slot pixel operator for one
+    8x8 gray block (nw=2 words per pixel row, gpad=128), plus bias."""
+    k = np.asarray(_KIDCT_ZZ, np.float64)
+    nw = 2
+    gpad = 128
+    m = np.zeros((64, 4 * gpad), np.float64)
+    bias = np.zeros((1, 4 * gpad), np.float64)
+    for r in range(8):
+        for px in range(8):
+            col = (px % 4) * gpad + r * nw + px // 4
+            m[:, col] += k[:, r * 8 + px]
+            bias[0, col] = 128.0
+    return m.astype(np.float32), bias.astype(np.float32)
+
+
+def _gray_kernel(x_ref, q_ref, m_ref, b_ref, out_ref):
+    gpad = 128
+    xf = x_ref[0, 0].astype(jnp.int32).astype(_F32) * q_ref[0]  # [bx, 64]
+    acc = jnp.dot(xf, m_ref[:], precision=jax.lax.Precision.HIGHEST) \
+        + b_ref[:]
+    base = jnp.floor(acc)
+    frac = acc - base
+    bi = base.astype(jnp.int32)
+    up = (frac > 0.5) | ((frac == 0.5) & ((bi & 1) == 1))
+    px = jnp.clip(bi + up.astype(jnp.int32), 0, 255)
+    words = (px[:, 0:gpad]
+             | (px[:, gpad:2 * gpad] << 8)
+             | (px[:, 2 * gpad:3 * gpad] << 16)
+             | (px[:, 3 * gpad:4 * gpad] << 24))
+    for r in range(8):
+        out_ref[0, r] = words[:, r * 2:(r + 1) * 2]
+
+
 def _make_kernel(nb: int, mh: int, nw: int, hs: int, vs: int):
     hp = jax.lax.Precision.HIGHEST
     gpad = _align128(mh * nw)
@@ -289,15 +324,15 @@ def _make_kernel(nb: int, mh: int, nw: int, hs: int, vs: int):
 
 
 def recon_applicable(layout: FrameLayout) -> bool:
-    """Static gate for the fused reconstruction kernel (color modes only;
-    gray reconstruction is a single dequant+IDCT matmul that XLA already
-    handles well, and its decode path is D2H-bound on this platform)."""
-    if layout.is_gray:
-        return False
+    """Static gate for the fused reconstruction kernel (all modes; gray
+    uses the single-block `_gray_kernel` variant)."""
     if layout.mcus_x % 8:
         # [mcus_x, ...] output tiles need a sublane-divisible dim (same
         # Mosaic rule as k1a_applicable)
         return False
+    if layout.is_gray:
+        return layout.mcus_x * (64 * 8 + 4 * 512 * 4 + 8 * 128 * 4) \
+            <= (10 << 20)
     c0 = layout.comps[0]
     nb = c0.hs * c0.vs
     mh = 8 * c0.vs
@@ -325,6 +360,27 @@ def fused_recon_words(x4: jnp.ndarray, q_rows: jnp.ndarray,
     L = (nb + 2) * 64
     B, my, mx = x4.shape[0], layout.mcus_y, layout.mcus_x
     h = layout.height
+
+    if layout.is_gray:
+        m_np, bias_np = _gray_operator()
+        return pl.pallas_call(
+            _gray_kernel,
+            grid=(B, my),
+            in_specs=[
+                pl.BlockSpec((1, 1, mx, 64), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 64), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, mx, 2), lambda b, i: (b, i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, h, mx, 2), jnp.int32),
+            interpret=interpret,
+        )(x4, q_rows.reshape(B, 1, 64), jnp.asarray(m_np),
+          jnp.asarray(bias_np))
+
     ops = _operators(hs, vs)
 
     # q rides as [B, 1, L]: a (1, 1, L) block keeps the last-two-dims
@@ -380,15 +436,18 @@ def fused_recon_words(x4: jnp.ndarray, q_rows: jnp.ndarray,
 
 
 def words_to_rgb(words: jnp.ndarray, layout: FrameLayout) -> jnp.ndarray:
-    """[B, h, mx, NW] int32 -> [B, h, w, 3] uint8 (bitcast + reshape; a lane
-    slice-copy only when the width is not MCU-aligned)."""
+    """[B, h, mx, NW] int32 -> [B, h, w, 3] uint8 ([B, h, w] for gray);
+    bitcast + reshape, a lane slice-copy only when the width is not
+    MCU-aligned."""
     B, h = words.shape[0], layout.height
     w = layout.width
+    ch = 1 if layout.is_gray else 3
     u8 = jax.lax.bitcast_convert_type(words, jnp.uint8)   # [B,h,mx,NW,4]
-    flat = u8.reshape(B, h, -1)                           # [B, h, Wp*3]
-    if flat.shape[2] != w * 3:
-        flat = flat[:, :, :w * 3]
-    return flat.reshape(B, h, w, 3)
+    flat = u8.reshape(B, h, -1)                           # [B, h, Wp*ch]
+    if flat.shape[2] != w * ch:
+        flat = flat[:, :, :w * ch]
+    return flat.reshape(B, h, w) if layout.is_gray else \
+        flat.reshape(B, h, w, 3)
 
 
 def fused_recon_rgb(x4: jnp.ndarray, q_rows: jnp.ndarray,

@@ -899,7 +899,7 @@ def decode_batch(datas: list[bytes], mesh: Mesh | None = None,
         if form == "fused_packed":
             from jpgenc_tpu.ops.pallas.recon import fused_recon_rgb
             c0 = layout.comps[0]
-            L = (c0.hs * c0.vs + 2) * 64
+            L = 64 if layout.is_gray else (c0.hs * c0.vs + 2) * 64
             my, mx = layout.mcus_y, layout.mcus_x
             n_scan64 = layout.n_scan * 64
             interp = fused_interp

@@ -174,15 +174,19 @@ def test_packed_decode_on_hw(tpu, frame):
 
     files = [encode(frame, quality=q, restart_interval=r)
              for q, r in ((75, 0), (92, 4), (50, 8))]
-    got_single = [D.decode(f) for f in files]
-    got_batch = D.decode_batch([files[0]] * 3, chunk=2)
+    D._FUSED_OVERRIDE = False     # pin the XLA recon: this test isolates
+    try:                          # the upload FORMS (exact equality)
+        got_single = [D.decode(f) for f in files]
+        got_batch = D.decode_batch([files[0]] * 3, chunk=2)
 
-    orig = native.available
-    try:
-        native.available = lambda: False      # python + dense upload path
-        ref = [D.decode(f) for f in files]
+        orig = native.available
+        try:
+            native.available = lambda: False  # python + dense upload path
+            ref = [D.decode(f) for f in files]
+        finally:
+            native.available = orig
     finally:
-        native.available = orig
+        D._FUSED_OVERRIDE = None
     for g, r in zip(got_single, ref):
         np.testing.assert_array_equal(g, r)
     for g in got_batch:
@@ -200,3 +204,32 @@ def test_mesh_decode_on_hw(tpu, frame):
     ref = decode(files[0])
     for o in out:
         np.testing.assert_array_equal(o, ref)
+
+
+def test_fused_recon_on_hw(tpu, frame):
+    """Round-4 fused Pallas reconstruction on the real chip (color + gray,
+    single + batched): parity with the XLA recon bounded at |diff| <= 1 on
+    a tiny knife-edge fraction (same discipline as the K1A encode lane)."""
+    import jpgenc_tpu.decoder as D
+    from jpgenc_tpu.api import encode
+    from jpgenc_tpu.ops.pallas.recon import recon_applicable
+
+    def parity(a, b):
+        d = np.abs(np.asarray(a).astype(np.int64)
+                   - np.asarray(b).astype(np.int64))
+        assert d.max() <= 1 and (d > 0).sum() / d.size < 1e-3
+
+    for img in (frame, frame[:, :, 0]):
+        data = encode(img, quality=75)
+        lay = D.layout_from_parsed(D.parse_jpeg(data))
+        assert recon_applicable(lay)
+        D._FUSED_OVERRIDE = False
+        ref = D.decode(data)
+        refs = D.decode_batch([data] * 3, chunk=2)
+        D._FUSED_OVERRIDE = None          # auto: fused on the real chip
+        try:
+            parity(D.decode(data), ref)
+            for g, r in zip(D.decode_batch([data] * 3, chunk=2), refs):
+                parity(g, r)
+        finally:
+            D._FUSED_OVERRIDE = None

@@ -67,16 +67,18 @@ def test_kernel_vs_pixel_fn(sub, h, w):
     _parity(out, ref)
 
 
-def test_not_applicable_gray_and_odd_mcus():
-    assert not recon_applicable(make_layout(64, 64, "gray"))
+def test_recon_applicable_gate():
+    assert recon_applicable(make_layout(64, 64, "gray"))
     # mcus_x = 9: Mosaic sublane-divisibility rule
     assert not recon_applicable(make_layout(64, 130, "420"))
+    assert not recon_applicable(make_layout(64, 72, "gray"))
 
 
 def _pillow_jpeg(img, q, subsampling, **kw):
     buf = io.BytesIO()
-    Image.fromarray(img).save(buf, "JPEG", quality=q,
-                              subsampling=subsampling, **kw)
+    if subsampling is not None:
+        kw["subsampling"] = subsampling
+    Image.fromarray(img).save(buf, "JPEG", quality=q, **kw)
     return buf.getvalue()
 
 
@@ -143,5 +145,42 @@ def test_mesh_decode_fused_vs_xla(rng):
     refs = M.decode_batch(datas, to_device=False)
     D._FUSED_OVERRIDE = "interpret"
     outs = M.decode_batch(datas, to_device=False)
+    for a, b in zip(outs, refs):
+        _parity(a, b)
+
+
+@pytest.mark.parametrize("h,w", [(64, 64), (61, 128), (512, 512)])
+def test_gray_kernel_vs_pixel_fn(h, w):
+    """Gray variant (single dequant+IDCT block per grid cell)."""
+    lay = make_layout(h, w, "gray")
+    assert recon_applicable(lay)
+    n_total = lay.comps[0].n_blocks
+    rng = np.random.default_rng(h * 1000 + w)
+    blocks = rng.integers(-60, 60, (n_total, 64)).astype(np.int32)
+    qts = [np.clip(rng.integers(1, 40, 64), 1, 255).astype(np.int32)]
+    ref = np.asarray(D.pixel_fn(lay)(jnp.asarray(blocks),
+                                     [jnp.asarray(qts[0])]))
+    x4 = blocks[np.asarray(lay.scan_flat)].astype(np.int16).reshape(
+        1, lay.mcus_y, lay.mcus_x, 64)
+    zz = np.asarray(T.ZIGZAG)
+    q_row = qts[0].astype(np.float32)[zz].reshape(1, 64)
+    out = np.asarray(fused_recon_rgb(jnp.asarray(x4), jnp.asarray(q_row),
+                                     lay, interpret=True))[0]
+    _parity(out, ref)
+
+
+def test_decode_gray_fused_vs_xla(rng):
+    img = np.clip(rng.normal(128, 50, (61, 128)), 0, 255).astype(np.uint8)
+    data = _pillow_jpeg(img, 80, None)
+    D._FUSED_OVERRIDE = False
+    ref = D.decode(data)
+    D._FUSED_OVERRIDE = "interpret"
+    out = D.decode(data)
+    _parity(out, ref)
+
+    D._FUSED_OVERRIDE = False
+    refs = D.decode_batch([data] * 3)
+    D._FUSED_OVERRIDE = "interpret"
+    outs = D.decode_batch([data] * 3, chunk=2)
     for a, b in zip(outs, refs):
         _parity(a, b)
