@@ -46,12 +46,17 @@ class ParsedJpeg:
                 f"unsupported component count {len(self.comps)} "
                 "(baseline gray or YCbCr only)")
         hs, vs = self.comps[0].hs, self.comps[0].vs
-        mode = {(1, 1): "444", (2, 1): "422", (2, 2): "420"}.get((hs, vs))
+        # decode-side coverage includes the rarer legal baseline samplings
+        # (4:1:1 e.g. DV sources, 4:4:0, 4:1:0); the encoder emits only
+        # 444/422/420/gray
+        mode = {(1, 1): "444", (2, 1): "422", (2, 2): "420",
+                (4, 1): "411", (1, 2): "440", (4, 2): "410"}.get((hs, vs))
         if mode is None or any((c.hs, c.vs) != (1, 1) for c in self.comps[1:]):
             factors = "".join(f" {c.hs}x{c.vs}" for c in self.comps)
             raise ValueError(
                 f"unsupported sampling factors{factors} "
-                "(supported: 4:4:4, 4:2:2, 4:2:0, grayscale)")
+                "(supported: 4:4:4, 4:2:2, 4:2:0, 4:1:1, 4:4:0, 4:1:0, "
+                "grayscale)")
         return mode
 
 

@@ -102,6 +102,12 @@ _SAMP = {  # luma sampling factors per mode
     "444": (1, 1),
     "422": (2, 1),
     "420": (2, 2),
+    # decode-side coverage of the rarer legal baseline samplings (the
+    # encoder emits only the three above + gray; all machinery below is
+    # factor-general)
+    "411": (4, 1),
+    "440": (1, 2),
+    "410": (4, 2),
 }
 
 

@@ -334,6 +334,11 @@ def recon_applicable(layout: FrameLayout) -> bool:
         return layout.mcus_x * (64 * 8 + 4 * 512 * 4 + 8 * 128 * 4) \
             <= (10 << 20)
     c0 = layout.comps[0]
+    if (c0.hs, c0.vs) not in ((1, 1), (2, 1), (2, 2)):
+        # rare decode-side samplings (411/440/410): the kernel's tap
+        # structure models only the encoder's three color modes — the XLA
+        # path handles the rest
+        return False
     nb = c0.hs * c0.vs
     mh = 8 * c0.vs
     L = (nb + 2) * 64

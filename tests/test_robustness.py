@@ -62,10 +62,14 @@ class TestForeignFiles:
         i = data.find(b"\xff\xc0")
         samp_pos = i + 4 + 6 + 1  # marker+len + prec/h/w/nc + comp id
         assert data[samp_pos] == 0x22
-        data[samp_pos] = 0x12    # 1x2 sampling: legal JPEG, out of scope
+        # 3x1 luma: legal JPEG (factors 1-4) but outside the decoder's
+        # mode map (4:1:1 / 4:4:0 / 4:1:0 are covered since round 4 —
+        # tests/test_foreign_sampling.py)
+        data[samp_pos] = 0x31
         with pytest.raises(ValueError, match="[Uu]nsupported sampling"):
             decode(bytes(data))
-        data[samp_pos] = 0x41    # 4x1
+        data[samp_pos] = 0x22    # restore luma; break a CHROMA factor
+        data[samp_pos + 3] = 0x21
         with pytest.raises(ValueError, match="[Uu]nsupported sampling"):
             decode(bytes(data))
 
