@@ -325,11 +325,13 @@ def _make_kernel(nb: int, mh: int, nw: int, hs: int, vs: int):
 
 def recon_applicable(layout: FrameLayout) -> bool:
     """Static gate for the fused reconstruction kernel (all modes; gray
-    uses the single-block `_gray_kernel` variant)."""
-    if layout.mcus_x % 8:
-        # [mcus_x, ...] output tiles need a sublane-divisible dim (same
-        # Mosaic rule as k1a_applicable)
-        return False
+    uses the single-block `_gray_kernel` variant).
+
+    No mcus_x % 8 rule here: every block's last-two dims EQUAL the array
+    dims, which satisfies Mosaic's tiling constraint for any width —
+    verified on chip at mcus_x=252 (4032-wide camera geometry, knife-edge
+    parity only). k1a's rule comes from blocks that are strict
+    sub-tilings of a flattened dim and does not transfer."""
     if layout.is_gray:
         return layout.mcus_x * (64 * 8 + 4 * 512 * 4 + 8 * 128 * 4) \
             <= (10 << 20)

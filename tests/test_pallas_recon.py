@@ -38,6 +38,7 @@ def _restore_override():
 
 @pytest.mark.parametrize("sub,h,w", [
     ("420", 32, 128), ("420", 61, 128), ("420", 257, 1920),
+    ("420", 64, 130),                   # mcus_x = 9: unaligned width
     ("422", 16, 128), ("422", 47, 250), ("444", 100, 64),
 ])
 def test_kernel_vs_pixel_fn(sub, h, w):
@@ -69,9 +70,14 @@ def test_kernel_vs_pixel_fn(sub, h, w):
 
 def test_recon_applicable_gate():
     assert recon_applicable(make_layout(64, 64, "gray"))
-    # mcus_x = 9: Mosaic sublane-divisibility rule
-    assert not recon_applicable(make_layout(64, 130, "420"))
-    assert not recon_applicable(make_layout(64, 72, "gray"))
+    # any width: recon blocks' last-two dims equal the array dims, so
+    # Mosaic's tiling rule holds without the k1a-style mcus_x % 8 gate
+    # (hardware-verified at mcus_x=252)
+    assert recon_applicable(make_layout(64, 130, "420"))
+    assert recon_applicable(make_layout(3024, 4032, "420"))
+    assert recon_applicable(make_layout(64, 72, "gray"))
+    # rare decode-side samplings stay on the XLA path
+    assert not recon_applicable(make_layout(64, 96, "411"))
 
 
 def _pillow_jpeg(img, q, subsampling, **kw):
@@ -85,6 +91,7 @@ def _pillow_jpeg(img, q, subsampling, **kw):
 @pytest.mark.parametrize("sub,q,h,w", [
     (2, 75, 120, 128), (2, 50, 61, 128), (1, 90, 64, 128), (0, 35, 48, 128),
     (2, 92, 80, 250),          # width not MCU-aligned: lane crop path
+    (2, 75, 64, 130),          # mcus_x = 9: unaligned sublane dim
 ])
 def test_decode_fused_vs_xla(rng, sub, q, h, w):
     img = np.clip(rng.normal(128, 50, (h, w, 3)), 0, 255).astype(np.uint8)
