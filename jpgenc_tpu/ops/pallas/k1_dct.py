@@ -149,7 +149,7 @@ def _dense_dma_kernel(x_ref, m_ref, bias_ref, q_ref, out_ref, *, mh: int):
     x = jnp.concatenate(parts, axis=1)               # [mx, mh*4*wpr]
     out = jnp.dot(x, m_ref[:],
                   precision=jax.lax.Precision.HIGHEST) + bias_ref[:]
-    out_ref[:] = round_half_away(out / q_ref[:]).astype(jnp.int32).astype(
+    out_ref[0] = round_half_away(out / q_ref[:]).astype(jnp.int32).astype(
         jnp.int16)
 
 
@@ -290,10 +290,12 @@ def fused_pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
             mh = 8 * c0.vs
             mx, my = layout.mcus_x, layout.mcus_y
             wpr = (8 * c0.hs) * 3 // 4
-            # lane dim wpr pads to 128 in VMEM: bound the per-step block
-            # mx % 8: the [mx, l_out] output block needs a sublane-divisible
-            # tile; odd widths use the row-padded dense path below instead
-            if mh * mx * 128 * 4 <= (4 << 20) and mx % 8 == 0:
+            # lane dim wpr pads to 128 in VMEM: bound the per-step block.
+            # The 3-D [my, mx, l_out] output keeps every block's last-two
+            # dims EQUAL to the array dims, which satisfies Mosaic's tiling
+            # rule for ANY width (the old mx % 8 gate came from (mx, l_out)
+            # blocks sub-tiling a flattened (my*mx, l_out) dim)
+            if mh * mx * 128 * 4 <= (4 << 20):
                 # preferred: BlockSpec DMA gathers each MCU row's words
                 # straight from the natural image layout — no XLA transpose
                 # (XLA u8/u32 transposes run at ~3.4 GB/s on this chip and
@@ -314,12 +316,14 @@ def fused_pixels_to_scan(img: jnp.ndarray, layout: FrameLayout,
                         pl.BlockSpec(memory_space=pltpu.VMEM),
                         pl.BlockSpec(memory_space=pltpu.VMEM),
                     ],
-                    out_specs=pl.BlockSpec((mx, l_out), lambda i: (i, 0),
+                    out_specs=pl.BlockSpec((1, mx, l_out),
+                                           lambda i: (i, 0, 0),
                                            memory_space=pltpu.VMEM),
-                    out_shape=jax.ShapeDtypeStruct((my * mx, l_out),
+                    out_shape=jax.ShapeDtypeStruct((my, mx, l_out),
                                                    jnp.int16),
                     interpret=interpret,
                 )(x4, jnp.asarray(m_np), jnp.asarray(bias_np), q_out)
+                out = out.reshape(my * mx, l_out)
             else:
                 m_np, bias_np = _dense_operator(c0.hs, c0.vs)
                 x, n_pad = _pad_rows(mcu_pack_words(padded, layout),

@@ -172,9 +172,9 @@ def _k1a_kernel(x_ref, m_ref, bias_ref, q_ref,
             tots.append(total)
 
     if bufs:                                         # odd-group (444) path
-        buf_ref[:] = jax.lax.bitcast_convert_type(
+        buf_ref[0] = jax.lax.bitcast_convert_type(
             jnp.concatenate(bufs, axis=1), jnp.uint32)
-    bits_ref[:] = jnp.concatenate(tots, axis=1)      # [mx, nb+2]
+    bits_ref[0] = jnp.concatenate(tots, axis=1)      # [mx, nb+2]
 
 
 def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
@@ -338,10 +338,10 @@ def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
                               keepdims=True))
             if len(cl) == ch:
                 w0 = w + 1 - ch
-                out_ref[:, base_l + w0:base_l + w0 + ch] = \
+                out_ref[0, :, base_l + w0:base_l + w0 + ch] = \
                     jax.lax.bitcast_convert_type(
                         jnp.concatenate(cl, axis=1), jnp.uint32)
-                out_ref[:, base_r + w0:base_r + w0 + ch] = \
+                out_ref[0, :, base_r + w0:base_r + w0 + ch] = \
                     jax.lax.bitcast_convert_type(
                         jnp.concatenate(cr, axis=1), jnp.uint32)
                 cl, cr = [], []
@@ -369,7 +369,7 @@ def _k1a_gray_kernel(x_ref, k_ref, q_ref,
     bit-identical (the capacity-tier retry may switch paths mid-encode)."""
     i = pl.program_id(0)
 
-    x = x_ref[:].astype(_I32).astype(_F32) - _F32(128.0)   # [mx, 64]
+    x = x_ref[0].astype(_I32).astype(_F32) - _F32(128.0)   # [mx, 64]
     out = jnp.dot(x, k_ref[:], precision=jax.lax.Precision.HIGHEST)
     v = round_half_away(out / q_ref[:]).astype(_I32)
 
@@ -413,8 +413,8 @@ def _k1a_gray_kernel(x_ref, k_ref, q_ref,
 
     buf, total = _pack_slots(pos, nz, run, s_ac, amp_ac, e_ac,
                              s_dc, amp_dc, e_dc, zrl, eob, valid, w_blk)
-    buf_ref[:] = buf
-    bits_ref[:] = total
+    buf_ref[0] = buf
+    bits_ref[0] = total
 
 
 def _fused_gray(img: jnp.ndarray, layout: FrameLayout, qtabs: jnp.ndarray,
@@ -434,13 +434,13 @@ def _fused_gray(img: jnp.ndarray, layout: FrameLayout, qtabs: jnp.ndarray,
 
     padded = C.pad_replicate(img, c0.plane_h, c0.plane_w)
     blocks = (padded.reshape(my, 8, mx, 8).transpose(0, 2, 1, 3)
-              .reshape(my * mx, 64))
+              .reshape(my, mx, 64))
 
-    return pl.pallas_call(
+    buf, bits = pl.pallas_call(
         functools.partial(_k1a_gray_kernel, mx=mx, mps=mps, w_blk=w_blk),
         grid=(my,),
         in_specs=[
-            pl.BlockSpec((mx, 64), lambda i: (i, 0),
+            pl.BlockSpec((1, mx, 64), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -449,18 +449,19 @@ def _fused_gray(img: jnp.ndarray, layout: FrameLayout, qtabs: jnp.ndarray,
             pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((mx, w_blk), lambda i: (i, 0),
+            pl.BlockSpec((1, mx, w_blk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mx, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, mx, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((my * mx, w_blk), jnp.uint32),
-            jax.ShapeDtypeStruct((my * mx, 1), jnp.int32),
+            jax.ShapeDtypeStruct((my, mx, w_blk), jnp.uint32),
+            jax.ShapeDtypeStruct((my, mx, 1), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((1, 128), _I32)],
         interpret=interpret,
     )(blocks, k, q, ac_rows, dc_rows, misc)
+    return buf.reshape(my * mx, w_blk), bits.reshape(my * mx, 1)
 
 
 def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
@@ -477,12 +478,15 @@ def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
     slower anyway (merge instruction count scales with w_blk); the gray /
     444 paths still build _pack_slots column lists (one block at a time,
     w_blk lane-padded [mx, 1] columns ~= w_blk*mx*512 B live), which the
-    estimate below includes."""
+    estimate below includes.
+
+    No mcus_x % 8 rule anymore: outputs are 3-D [my, mx, ...] arrays whose
+    blocks' last-two dims EQUAL the array dims, satisfying Mosaic's tiling
+    rule at any width (the old rule came from (mx, ...) blocks sub-tiling
+    the flattened (my*mx, ...) dim; found via an odd-width 480px encode,
+    removed after the same fix was hardware-verified on the recon kernel
+    at mcus_x=252)."""
     if w_blk > 32:
-        return False
-    if layout.mcus_x % 8:
-        # output BlockSpecs are [mcus_x, ...] tiles: Mosaic requires the
-        # sublane dim divisible by 8 (found via an odd-width 480px encode)
         return False
     if layout.is_gray:
         # _pack_slots column list + the lane-padded [mx, w_blk->128] u32
@@ -559,14 +563,14 @@ def fused_pixels_to_pack(img: jnp.ndarray, layout: FrameLayout,
             pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((mx, (nb + 2) * w_blk), lambda i: (i, 0),
+            pl.BlockSpec((1, mx, (nb + 2) * w_blk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mx, nb + 2), lambda i: (i, 0),
+            pl.BlockSpec((1, mx, nb + 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((my * mx, (nb + 2) * w_blk), jnp.uint32),
-            jax.ShapeDtypeStruct((my * mx, nb + 2), jnp.int32),
+            jax.ShapeDtypeStruct((my, mx, (nb + 2) * w_blk), jnp.uint32),
+            jax.ShapeDtypeStruct((my, mx, nb + 2), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((1, 128), _I32)],
         interpret=interpret,

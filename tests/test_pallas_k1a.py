@@ -21,6 +21,8 @@ CASES = [
     (64, 128, "gray", 0),      # gray: one block per MCU, luma tables only
     (100, 64, "gray", 3),      # gray + DRI: short last segment, row-crossing
                                # DC carry inside a segment (8 MCUs/row, DRI=3)
+    (64, 136, "420", 0),       # mcus_x = 9: unaligned width (3-D outputs)
+    (64, 72, "gray", 0),       # gray mcus_x = 9
 ]
 
 
@@ -64,11 +66,13 @@ def test_k1a_gate():
     assert k1a_applicable(make_layout(64, 64, "gray", 0))
     assert k1a_applicable(make_layout(512, 512, "gray", 0))
     assert k1a_applicable(make_layout(2160, 3840, "420", 0))
+    # any width: 3-D [my, mx, ...] outputs keep block dims equal to the
+    # array dims, so the old mcus_x % 8 rule is gone
+    assert k1a_applicable(make_layout(360, 480, "420", 0))
+    assert k1a_applicable(make_layout(64, 120, "gray", 0))
+    assert k1a_applicable(make_layout(3024, 4032, "420", 0))
     # oversize MCU rows (DMA block > 4 MB) must fall back
     assert not k1a_applicable(make_layout(64, 70000, "420", 0))
-    # mcus_x not divisible by 8 (Mosaic sublane tiling) must fall back
-    assert not k1a_applicable(make_layout(360, 480, "420", 0))
-    assert not k1a_applicable(make_layout(64, 120, "gray", 0))
 
 
 def test_k1a_gate_scoped_vmem_model():
