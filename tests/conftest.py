@@ -41,6 +41,15 @@ def rng():
     return np.random.default_rng(1234)
 
 
+@pytest.fixture(autouse=True)
+def _reset_fused_override():
+    """The fused-recon override is module-global test plumbing; make sure
+    no test can leak a forced mode into its worker's later tests."""
+    yield
+    import jpgenc_tpu.decoder as _D
+    _D._FUSED_OVERRIDE = None
+
+
 def _gradient_noise_image(rng, h, w, channels=None):
     """Deterministic structured test image: gradients + sinusoids + noise."""
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
