@@ -788,6 +788,15 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
     if use_packed:
         fused, interp = _fused_mode(layout)
         if fused:
+            # the fused kernel interprets exception offsets in SCAN-POSITION
+            # space with a per-frame span of n_scan64, while _flatten_packed
+            # offsets them by f*n64 (flat coefficient span). The two agree
+            # only because every layout make_layout produces has
+            # n_total == n_scan (all blocks appear in the scan exactly once)
+            # — make that invariant explicit rather than implicit.
+            assert n64 == n_scan64, (
+                f"fused packed decode requires n_total == n_scan "
+                f"({n_total} vs {layout.n_scan})")
             # the fused kernel wants exceptions in scan-position space
             packed = [(m, _scan_space_eidx(e, layout), v)
                       for (m, e, v) in packed]

@@ -324,7 +324,10 @@ def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
     # With out_ref, columns are flushed in 8-word chunk stores, bounding
     # the live set to ~8 columns regardless of w_blk.
     if out_ref is not None:
-        ch = 8 if w_blk % 8 == 0 else w_blk
+        # flush in <=8-word chunk stores (a partial final chunk for tiers
+        # not divisible by 8) so the live column set stays bounded at ~8
+        # regardless of w_blk — reverting to all-live columns is exactly
+        # the scoped-VMEM blowup this path exists to avoid
         cl, cr = [], []
         for w in range(w_blk):
             acc = jnp.zeros((t, 128), _I32)
@@ -336,7 +339,8 @@ def _pair_entropy(v2, dcd_l, dcd_r, tab_l, tab_r,
                               keepdims=True))
             cr.append(jnp.sum(jnp.where(left, 0, acc), axis=1,
                               keepdims=True))
-            if len(cl) == ch:
+            if len(cl) == 8 or w == w_blk - 1:
+                ch = len(cl)
                 w0 = w + 1 - ch
                 out_ref[0, :, base_l + w0:base_l + w0 + ch] = \
                     jax.lax.bitcast_convert_type(
@@ -468,7 +472,7 @@ def k1a_applicable(layout: FrameLayout, w_blk: int = 8) -> bool:
     """Static gate: MCU-row DMA block in budget (mirrors k1_dct's dense-DMA
     gate) and a supported w_blk tier. Oversize rows and the 56-word worst
     tier use the split K1 / kernel-A pipeline. Gray runs `_k1a_gray_kernel`
-    (one 8x8 block per MCU) under the same mcus_x % 8 tiling rule.
+    (one 8x8 block per MCU).
 
     The paired merge flushes word columns in 8-word chunk stores (see
     `_pair_entropy`), so its scoped-VMEM live set no longer scales with

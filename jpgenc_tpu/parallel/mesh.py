@@ -335,7 +335,7 @@ def _batch_setup(imgs, cfg: EncodeConfig, mesh):
     pad = (-b) % n_dev
     if pad and is_dev:
         raise ValueError(
-            f"device-resident batch of {b} must divide the mesh's "
+            f"device-resident batch of {b} must be a multiple of the mesh's "
             f"{n_dev} devices (host batches are padded automatically)")
     if pad:  # round the batch up to the mesh size; padded outputs are dropped
         imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)], axis=0)

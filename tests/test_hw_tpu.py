@@ -207,9 +207,13 @@ def test_mesh_decode_on_hw(tpu, frame):
 
 
 def test_fused_recon_on_hw(tpu, frame):
-    """Round-4 fused Pallas reconstruction on the real chip (color + gray,
-    single + batched): parity with the XLA recon bounded at |diff| <= 1 on
-    a tiny knife-edge fraction (same discipline as the K1A encode lane)."""
+    """Round-4 fused Pallas reconstruction on the real chip — EVERY mode
+    the auto-enable gate admits (420/422/444 color + gray; interpret-mode
+    CI cannot catch the Mosaic lane-offset miscompiles the kernel docstring
+    flags, and 422's non-128-aligned word-row slices are exactly that
+    hazard class), single + batched: parity with the XLA recon bounded at
+    |diff| <= 1 on a tiny knife-edge fraction (same discipline as the K1A
+    encode lane)."""
     import jpgenc_tpu.decoder as D
     from jpgenc_tpu.api import encode
     from jpgenc_tpu.ops.pallas.recon import recon_applicable
@@ -219,10 +223,12 @@ def test_fused_recon_on_hw(tpu, frame):
                    - np.asarray(b).astype(np.int64))
         assert d.max() <= 1 and (d > 0).sum() / d.size < 1e-3
 
-    for img in (frame, frame[:, :, 0]):
-        data = encode(img, quality=75)
+    cases = [(frame, {"subsampling": s}) for s in ("420", "422", "444")]
+    cases.append((frame[:, :, 0], {}))
+    for img, kw in cases:
+        data = encode(img, quality=75, **kw)
         lay = D.layout_from_parsed(D.parse_jpeg(data))
-        assert recon_applicable(lay)
+        assert recon_applicable(lay), kw
         D._FUSED_OVERRIDE = False
         ref = D.decode(data)
         refs = D.decode_batch([data] * 3, chunk=2)

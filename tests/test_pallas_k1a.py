@@ -59,6 +59,14 @@ def test_fused_k1a_matches_split_pipeline(h, w, sub, dri, w_blk, rng):
     np.testing.assert_array_equal(np.asarray(buf), np.asarray(ref_buf))
 
 
+def test_fused_k1a_partial_chunk_flush(rng):
+    """w_blk not divisible by 8 exercises the partial FINAL chunk store in
+    the paired merge (_pair_entropy flushes <=8-word chunks; a non-multiple
+    tier must flush a short tail chunk, not widen to all-live columns)."""
+    test_fused_k1a_matches_split_pipeline(128, 256, "420", 0, 12, rng)
+    test_fused_k1a_matches_split_pipeline(120, 120, "420", 3, 20, rng)
+
+
 def test_k1a_gate():
     from jpgenc_tpu.layout import make_layout
     from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
