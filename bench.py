@@ -13,6 +13,17 @@ Timing methodology: `block_until_ready` returns early on this platform, so
 every timed loop fetches real output bytes before the clock stops. The
 headline times sustained batched encode with device-resident input (the
 production shape); "e2e+upload" includes the host->device pixel upload.
+
+Self-normalizing for link weather (the tunnel link swings 2-4x between
+sessions — docs/PERFORMANCE.md): the JSON carries (a) a `link_probe` row
+with measured H2D/D2H MB/s at run start + a D2H re-probe at run end,
+(b) `device_only_mpix_per_s` per encode config and for decode (payloads
+left in HBM / coefficients pre-staged, one small fence fetch outside the
+clock), and (c) `d2h_bytes` per encode row — so a reader can separate
+"kernel regressed" from "link was bad" in the attested record. The
+quality sweep round-robins its rows within one window and flags
+throughput inversions with `noise_flag` instead of publishing them
+silently.
 """
 from __future__ import annotations
 
@@ -63,11 +74,9 @@ def _pipeline_fns(layout, quality, batch, mesh, tier="tight"):
     return plan, fns, qt_host, qt_dev, (dc_t, ac_t), luts
 
 
-def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
-                  n_iter):
-    """Timed device-pipeline encode -> (sec/batch, files)."""
-    import jax
-
+def _launch_collect(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch):
+    """(launch, collect) closures for the pipelined encode loop.
+    collect(pending) -> (files, d2h_bytes_this_batch)."""
     from jpgenc_tpu.engine import (combined_fetch, fetch_prefix,
                                    finalize_host_w, split_fetch)
     from jpgenc_tpu.ops.pack import seg_nwords_aligned
@@ -90,17 +99,54 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
 
     def collect(pend):
         handle, k, u = pend
-        up, nb, ov = split_fetch(np.asarray(handle), k, n_seg)
+        arr = np.asarray(handle)
+        d2h = arr.nbytes
+        up, nb, ov = split_fetch(arr, k, n_seg)
         total_w = int(seg_nwords_aligned(nb).sum(axis=1).max())
         assert not ov.any() and total_w <= cap_w, \
             "capacity tier overflow — bench config needs a bigger tier"
         if total_w > up.shape[-1]:
             up = fetch_prefix(u, total_w)
+            d2h += up.nbytes
         guess[0] = max(total_w, 1024)
         return [hdr + finalize_host_w(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
-                for i in range(batch)]
+                for i in range(batch)], d2h
 
-    outs = collect(launch())                 # compile + warm
+    return launch, collect
+
+
+def _device_only(plan, fns, qt_dev, luts, frames_dev, batch, npix,
+                 n_iter=6) -> float:
+    """Device-only encode rate (VERDICT r4 #1): time n_iter dispatches
+    with the packed-word payloads left in HBM, forcing completion with ONE
+    small metadata fetch — the device queue is ordered, so the last
+    dispatch's nbits arriving implies every prior batch finished.
+    (`block_until_ready` returns early on this platform; fetching real
+    data is the only trustworthy fence.) Separates the kernel rate from
+    the D2H link + host stuffing that dominate content-heavy rows on a
+    bad-weather tunnel."""
+    def step():
+        u, nbits, ovf = fns["encode_bytes"](
+            frames_dev, qt_dev, plan.plan, plan.scan_flat, luts)
+        return nbits
+    np.asarray(step())                       # warm + fence
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n_iter):
+        last = step()
+    np.asarray(last)                         # ~KB metadata fetch
+    dt = time.perf_counter() - t0
+    return round(n_iter * batch * npix / 1e6 / dt, 2)
+
+
+def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
+                  n_iter, npix=None):
+    """Timed device-pipeline encode -> (sec/batch, files, extras).
+    extras carries d2h_bytes per batch and (when npix is given) the
+    device-only MPix/s for the same executable."""
+    launch, collect = _launch_collect(layout, plan, fns, qt_dev, luts,
+                                      frames_dev, hdr, batch)
+    outs, d2h = collect(launch())            # compile + warm
     assert outs[0][:2] == b"\xff\xd8" and outs[0][-2:] == b"\xff\xd9"
     # sustained pipelined loop: batch k+1's device compute is queued before
     # batch k's results are fetched/assembled, so the download + host
@@ -113,21 +159,73 @@ def _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch,
     for _ in range(n_iter - 1):
         t0 = time.perf_counter()
         nxt = launch()
-        outs = collect(pending)
+        outs, d2h = collect(pending)
         iters.append(time.perf_counter() - t0)
         pending = nxt
     t0 = time.perf_counter()
-    outs = collect(pending)
+    outs, d2h = collect(pending)
     iters.append(time.perf_counter() - t0)
     iters.sort()
-    return iters[len(iters) // 2], outs
+    extras = {"d2h_bytes": d2h}
+    if npix is not None:
+        extras["device_only_mpix_per_s"] = _device_only(
+            plan, fns, qt_dev, luts, frames_dev, batch, npix)
+    return iters[len(iters) // 2], outs, extras
+
+
+def _link_probe():
+    """Per-run link weather (VERDICT r4 #1): H2D and D2H MB/s on a fixed
+    8 MB buffer + the tiny-put round-trip latency, measured with NO jitted
+    computation anywhere (compile latency must not pollute the probe).
+    The tunnel link swings 2-4x between sessions, so every D2H-bound row
+    in this file is uninterpretable without these numbers next to it.
+
+    Costs ~32 MB of the ~1.3 GB/process staging pool. Returns a spare
+    un-fetched device array so the END of the run can re-measure D2H
+    drift without another upload."""
+    import jax
+    n = 8 << 20
+    host = np.arange(n, dtype=np.uint8)      # non-constant data
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(np.zeros(4096, np.uint8)))
+    first_put_ms = (time.perf_counter() - t0) * 1e3   # absorbs any
+    t0 = time.perf_counter()                 # fresh-process transfer stall
+    np.asarray(jax.device_put(np.ones(4096, np.uint8)))
+    rt_small_ms = (time.perf_counter() - t0) * 1e3
+    # H2D: 8 MB put, fenced by a tiny put+get (the DMA queue is ordered;
+    # the combined round trip below cross-checks the assumption)
+    t0 = time.perf_counter()
+    dev_h = jax.device_put(host)
+    np.asarray(jax.device_put(np.zeros(4096, np.uint8)))
+    h2d_s = time.perf_counter() - t0
+    # D2H: first fetch of a device array (jax.Array caches the host copy
+    # after one conversion, so each probe array is fetched exactly once)
+    t0 = time.perf_counter()
+    np.asarray(dev_h)
+    d2h_s = time.perf_counter() - t0
+    # combined round trip on a fresh buffer as the cross-check
+    t0 = time.perf_counter()
+    np.asarray(jax.device_put(host[::-1].copy()))
+    rt_s = time.perf_counter() - t0
+    spare = jax.device_put(host[: n // 2].copy())     # for the end re-probe
+    probe = {
+        "buffer_mb": n >> 20,
+        "first_put_ms": round(first_put_ms, 1),
+        "rt_small_ms": round(rt_small_ms, 1),
+        "h2d_mb_s": round((n >> 20) / h2d_s, 1),
+        "d2h_mb_s": round((n >> 20) / d2h_s, 1),
+        "rt_mb_s": round((2 * n >> 20) / rt_s, 1),
+    }
+    return probe, spare
 
 
 def _psnr_bpp(data: bytes, img: np.ndarray, quality: int,
-              subsampling: str | None = None) -> dict:
+              subsampling: str | None = None,
+              optimize: bool = False) -> dict:
     """Quality half of the metric pair: ours vs the Pillow anchor (encoded
-    with the SAME chroma subsampling so the bpp comparison is apples-to-
-    apples; Pillow's default for color is 4:2:0)."""
+    with the SAME chroma subsampling AND optimize flag so the bpp
+    comparison is apples-to-apples; Pillow's default for color is
+    4:2:0)."""
     from PIL import Image
 
     from jpgenc_tpu.utils.metrics import psnr
@@ -138,6 +236,8 @@ def _psnr_bpp(data: bytes, img: np.ndarray, quality: int,
     kw = {}
     if subsampling is not None and img.ndim == 3:
         kw["subsampling"] = {"444": 0, "422": 1, "420": 2}[subsampling]
+    if optimize:
+        kw["optimize"] = True
     Image.fromarray(img).save(buf, "JPEG", quality=quality, **kw)
     anchor = buf.getvalue()
     adec = np.asarray(Image.open(_io.BytesIO(anchor)).convert(
@@ -173,6 +273,10 @@ def main() -> None:
     def budget_left() -> bool:
         return time.perf_counter() - bench_t0 < budget_s
 
+    # ---- link weather probe (before any other staging-pool use) ----------
+    link, d2h_spare = _link_probe()
+    _log(f"link probe: {link}")
+
     # ---- config :8 — HEADLINE: 1080p RGB 4:2:0 Q75 -----------------------
     from jpgenc_tpu.parallel.mesh import put_batch
     frames = synth_batch(H, W, B_UP)
@@ -187,13 +291,15 @@ def main() -> None:
     # throughput ramps over the first ~8 iterations in a fresh process
     # (874 -> 1037 MPix/s measured); 10 iterations + median captures the
     # sustained operating point
-    sec, outs = _run_pipeline(layout, plan, fns, qt_dev, luts, frames_dev,
-                              hdr, B, n_iter=10)
+    sec, outs, ex8 = _run_pipeline(layout, plan, fns, qt_dev, luts,
+                                   frames_dev, hdr, B, n_iter=10, npix=H * W)
     mpix = B * H * W / 1e6
     headline = mpix / sec
-    q8 = {"mpix_per_s": round(headline, 2), **_psnr_bpp(outs[0], frames[0], 75)}
+    q8 = {"mpix_per_s": round(headline, 2), **ex8,
+          **_psnr_bpp(outs[0], frames[0], 75)}
     configs["1080p_420_q75"] = q8
-    _log(f"c8 1080p 4:2:0 Q75 pipeline: {headline:.2f} MPix/s; "
+    _log(f"c8 1080p 4:2:0 Q75 pipeline: {headline:.2f} MPix/s "
+         f"(device-only {ex8['device_only_mpix_per_s']}); "
          f"bpp {q8['bpp']} psnr {q8['psnr_db']} "
          f"(pillow {q8['pillow_bpp']}/{q8['pillow_psnr_db']})")
 
@@ -218,11 +324,14 @@ def main() -> None:
             glayout, 75, B, mesh, tier="safe")
         ghdr = build_headers(glayout, list(gqt_host), *gtabs)
         gdev = put_batch(gray, gfns["sharding_img"])
-        gsec, gouts = _run_pipeline(glayout, gplan, gfns, gqt_dev, gluts,
-                                    gdev, ghdr, B, n_iter=8)
+        gsec, gouts, gex = _run_pipeline(glayout, gplan, gfns, gqt_dev,
+                                         gluts, gdev, ghdr, B, n_iter=8,
+                                         npix=512 * 512)
         gq = _psnr_bpp(gouts[0], gray[0], 75)
-        row = {"mpix_per_s": round(B * 512 * 512 / 1e6 / gsec, 2), **gq}
-        _log(f"c7 gray 512: {row['mpix_per_s']} MPix/s; "
+        row = {"mpix_per_s": round(B * 512 * 512 / 1e6 / gsec, 2),
+               **gex, **gq}
+        _log(f"c7 gray 512: {row['mpix_per_s']} MPix/s "
+             f"(device-only {gex['device_only_mpix_per_s']}); "
              f"bpp {gq['bpp']} psnr {gq['psnr_db']}")
         return row
 
@@ -230,23 +339,65 @@ def main() -> None:
     # ---- config :9 — FULL quality sweep (Q=10..95) + restart intervals ---
     # the PSNR-vs-bpp rate-distortion curve (SURVEY.md 408-410) needs >= 5
     # points; per-quality executables cache, and Q75 reuses the DRI layout's
-    # plan, so the marginal cost per point is one entropy-LUT recompile
-    def _c9_points(sweep, qualities, min_points):
-        rlayout = make_layout(H, W, "420", 120)
+    # plan, so the marginal cost per point is one entropy-LUT recompile.
+    # Build (compile+warm) and timing are SEPARATE phases: timing
+    # round-robins one mini-block per quality per round so link-weather
+    # drift hits every row equally instead of poisoning whichever quality
+    # happened to run during a bad stretch (VERDICT r4 #3), with median
+    # over rounds*iters samples per row and a monotone-noise sanity flag.
+    c9_state: dict[int, tuple] = {}
+    c9_rows: dict[str, dict] = {}
+    rlayout = make_layout(H, W, "420", 120)
+
+    def _c9_build(qualities, min_points):
         for q in qualities:
-            if not budget_left() and len(sweep) >= min_points:
-                _log(f"c9 sweep truncated at {len(sweep)} points (budget)")
+            if not budget_left() and len(c9_state) >= min_points:
+                _log(f"c9 build truncated before Q{q} (budget)")
                 break
             rplan, rfns, rqt_host, rqt_dev, rtabs, rluts = _pipeline_fns(
                 rlayout, q, B, mesh)
             rhdr = build_headers(rlayout, list(rqt_host), *rtabs)
-            rsec, routs = _run_pipeline(rlayout, rplan, rfns, rqt_dev, rluts,
-                                        frames_dev, rhdr, B, n_iter=8)
+            launch, collect = _launch_collect(
+                rlayout, rplan, rfns, rqt_dev, rluts, frames_dev, rhdr, B)
+            routs, _ = collect(launch())          # compile + warm
             sq = _psnr_bpp(routs[0], frames[0], q)
-            sweep[f"q{q}"] = {"mpix_per_s": round(mpix / rsec, 2), **sq}
-            _log(f"c9 Q{q}+DRI120: {sweep[f'q{q}']['mpix_per_s']} MPix/s; "
-                 f"bpp {sq['bpp']} psnr {sq['psnr_db']}")
-        return sweep
+            c9_state[q] = (rplan, rfns, rqt_dev, rluts, launch, collect, sq)
+
+    def _c9_time(rounds=2, iters=4):
+        samples: dict[int, list] = {q: [] for q in c9_state}
+        d2h: dict[int, int] = {}
+        for _ in range(rounds):
+            for q, (_pl, _f, _qt, _lu, launch, collect, _sq) \
+                    in c9_state.items():
+                pending = launch()
+                for _ in range(iters):
+                    t0 = time.perf_counter()
+                    nxt = launch()
+                    _, d2h[q] = collect(pending)
+                    samples[q].append(time.perf_counter() - t0)
+                    pending = nxt
+                collect(pending)
+        for q, (pl, fns_q, qt_q, lut_q, _la, _co, sq) in c9_state.items():
+            ss = sorted(samples[q])
+            dev = _device_only(pl, fns_q, qt_q, lut_q, frames_dev, B, H * W)
+            c9_rows[f"q{q}"] = {
+                "mpix_per_s": round(mpix / ss[len(ss) // 2], 2),
+                "device_only_mpix_per_s": dev, "d2h_bytes": d2h[q], **sq}
+            _log(f"c9 Q{q}+DRI120: {c9_rows[f'q{q}']['mpix_per_s']} MPix/s "
+                 f"(device-only {dev}, {d2h[q]} B down); bpp {sq['bpp']} "
+                 f"psnr {sq['psnr_db']}")
+        # monotone-noise sanity: e2e throughput should not INCREASE with
+        # quality (higher Q -> more content bytes down the link). Flag
+        # inversions instead of publishing them silently.
+        qs = sorted(c9_state)
+        for lo, hi in zip(qs, qs[1:]):
+            r_lo, r_hi = c9_rows[f"q{lo}"], c9_rows[f"q{hi}"]
+            if r_hi["mpix_per_s"] > r_lo["mpix_per_s"] * 1.10:
+                r_hi["noise_flag"] = (
+                    f"e2e rate exceeds Q{lo}'s by >10% — link noise; judge "
+                    f"device_only_mpix_per_s")
+                _log(f"c9 noise flag on Q{hi}: {r_hi['noise_flag']}")
+        return c9_rows
 
     # contract-critical endpoints up front; the curve's interior points run
     # LAST (c9_extend below) so a cold-cache bad-compile-weather run never
@@ -254,7 +405,8 @@ def main() -> None:
     # extending the sweep reuses frames_dev, so running it after the
     # upload-heavy rows costs no staging-pool budget
     def c9():
-        return _c9_points({}, (50, 95), min_points=1)
+        _c9_build((50, 95), min_points=1)
+        return _c9_time()
 
 
     # ---- config :10 — optimized-Huffman two-pass, 4K ---------------------
@@ -277,7 +429,10 @@ def main() -> None:
             iters.append(time.perf_counter() - t0)
         iters.sort()
         sec4k = iters[len(iters) // 2]
-        q4k = _psnr_bpp(data4k, img4k, 75)
+        # anchor encoded optimize=True too — this row's own file is
+        # optimized, and an unoptimized anchor overstated the bpp win on
+        # this smooth synthetic frame (VERDICT r4 #4)
+        q4k = _psnr_bpp(data4k, img4k, 75, optimize=True)
         row = {"mpix_per_s": round(2160 * 3840 / 1e6 / sec4k, 2), **q4k}
         t0 = time.perf_counter()
         data4k_up = encode_one(img4k, quality=75, optimize=True)
@@ -350,6 +505,22 @@ def main() -> None:
         row = {"mpix_per_s": round(nb_dec * H * W / 1e6 / dsec_dev, 2),
                "batch": nb_dec, "chunk": ch,
                "note": "to_device (pixels stay in HBM), chunk-pipelined"}
+        # device-only rate: coefficients pre-staged in HBM, timing covers
+        # ONLY the densify+reconstruction dispatches (VERDICT r4 #1 — the
+        # e2e row above is upload-link-bound on this tunnel, so without
+        # this split a bad-weather run is unadjudicable)
+        from jpgenc_tpu.decoder import stage_recon
+        run, h2d = stage_recon(files, chunk=ch)
+        force(run())                        # warm + staging fence
+        iters = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            force(run())
+            iters.append(time.perf_counter() - t0)
+        iters.sort()
+        row["device_only_mpix_per_s"] = round(
+            nb_dec * H * W / 1e6 / iters[len(iters) // 2], 2)
+        row["h2d_bytes"] = h2d
         # secondary: with the RGB host download (8 files — the 6.2 MB/frame
         # downloads measure the link and would blow the time budget at 32)
         files8 = files[:8]
@@ -419,13 +590,15 @@ def main() -> None:
             return fns["entropy_bytes_shared"](zz, splan, luts)
 
         fns_i["encode_bytes"] = _enc_islow
-        isec, iouts = _run_pipeline(layout, plan, fns_i, qt_dev, luts,
-                                    frames_dev, hdr, B, n_iter=6)
+        isec, iouts, iex = _run_pipeline(layout, plan, fns_i, qt_dev, luts,
+                                         frames_dev, hdr, B, n_iter=6,
+                                         npix=H * W)
         iq = _psnr_bpp(iouts[0], frames[0], 75)
-        row = {"mpix_per_s": round(mpix / isec, 2), **iq,
+        row = {"mpix_per_s": round(mpix / isec, 2), **iex, **iq,
                "note": "dct_method=islow — files byte-identical to "
                        "libjpeg-turbo (pillow_bpp equals bpp exactly)"}
-        _log(f"c8i islow 1080p: {row['mpix_per_s']} MPix/s; "
+        _log(f"c8i islow 1080p: {row['mpix_per_s']} MPix/s "
+             f"(device-only {iex['device_only_mpix_per_s']}); "
              f"bpp {iq['bpp']} (pillow {iq['pillow_bpp']})")
         return row
 
@@ -437,11 +610,13 @@ def main() -> None:
         splan, sfns, sqt_host, sqt_dev, stabs, sluts = _pipeline_fns(
             slayout, 75, B, mesh)
         shdr = build_headers(slayout, list(sqt_host), *stabs)
-        ssec, souts = _run_pipeline(slayout, splan, sfns, sqt_dev, sluts,
-                                    frames_dev, shdr, B, n_iter=8)
+        ssec, souts, sex = _run_pipeline(slayout, splan, sfns, sqt_dev,
+                                         sluts, frames_dev, shdr, B,
+                                         n_iter=8, npix=H * W)
         sq = _psnr_bpp(souts[0], frames[0], 75, subsampling=sub)
-        row = {"mpix_per_s": round(mpix / ssec, 2), **sq}
-        _log(f"c8-{sub} 1080p {sub} Q75: {row['mpix_per_s']} MPix/s; "
+        row = {"mpix_per_s": round(mpix / ssec, 2), **sex, **sq}
+        _log(f"c8-{sub} 1080p {sub} Q75: {row['mpix_per_s']} MPix/s "
+             f"(device-only {sex['device_only_mpix_per_s']}); "
              f"bpp {sq['bpp']} psnr {sq['psnr_db']}")
         return row
 
@@ -456,14 +631,30 @@ def main() -> None:
     _config("batch_sharded", c11)    # ~300 MB
 
     # extend the rate-distortion curve with whatever budget remains (0 MB
-    # staging — reuses frames_dev; see the ordering note at c9)
+    # staging — reuses frames_dev; see the ordering note at c9). The
+    # re-timing round-robins ALL built qualities in one window, so the
+    # endpoint rows measured earlier are REPLACED by same-window numbers
+    # (cross-row comparisons stay meaningful even if the link drifted
+    # between the two phases).
     if isinstance(configs.get("qsweep_dri"), dict) \
             and "error" not in configs["qsweep_dri"] \
             and "skipped" not in configs["qsweep_dri"]:
         try:
-            _c9_points(configs["qsweep_dri"], (10, 75, 25, 90), min_points=0)
+            _c9_build((10, 75, 25, 90), min_points=0)
+            _c9_time()
         except Exception as e:
             _log(f"qsweep extension: ERROR {e}")
+
+    # end-of-run D2H re-probe on the spare buffer staged by _link_probe:
+    # drift between this and link["d2h_mb_s"] bounds how much weather
+    # moved UNDER the rows above (H2D is not re-probed — the staging pool
+    # is spent by now and a fresh put would measure pool exhaustion)
+    t0 = time.perf_counter()
+    np.asarray(d2h_spare)
+    link["d2h_mb_s_end"] = round(
+        (d2h_spare.nbytes >> 20) / (time.perf_counter() - t0), 1)
+    _log(f"link probe (end): d2h {link['d2h_mb_s_end']} MB/s "
+         f"(start {link['d2h_mb_s']})")
 
     # roofline-style cost model per benched layout (SURVEY.md section 6:
     # the bench driver exposes the FLOPs/bytes accounting)
@@ -505,6 +696,7 @@ def main() -> None:
         "unit": "MPix/s",
         "vs_baseline": round(headline / TARGET_MPIX_S, 4),
         "backend": jax.devices()[0].platform,
+        "link_probe": link,
         "configs": configs,
         "cost_model": cost_model,
         "scaling": scaling,
@@ -530,6 +722,10 @@ def main() -> None:
             if k in row:
                 keep[k] = row[k] if not isinstance(row[k], str) \
                     else row[k][:60]
+        if "device_only_mpix_per_s" in row:     # short key: line is size-
+            keep["dev"] = row["device_only_mpix_per_s"]   # guarded at 1900
+        if "noise_flag" in row:
+            keep["noise"] = 1
         return keep
 
     compact_configs = {}
@@ -541,12 +737,16 @@ def main() -> None:
         else:
             compact_configs[name] = _compact_row(row)
 
+    compact_link = {k: link[k] for k in
+                    ("h2d_mb_s", "d2h_mb_s", "d2h_mb_s_end", "rt_small_ms")
+                    if k in link}
     line_obj = {
         "metric": "MPix/s/chip baseline JPEG encode @ Q=75, 1080p RGB 4:2:0",
         "value": round(headline, 2),
         "unit": "MPix/s",
         "vs_baseline": round(headline / TARGET_MPIX_S, 4),
         "backend": jax.devices()[0].platform,
+        "link": compact_link,
         "configs": compact_configs,
         "detail": "BENCH_DETAIL.json",
     }
@@ -556,7 +756,7 @@ def main() -> None:
             name: (row.get("mpix_per_s") if isinstance(row, dict) else None)
             for name, row in compact_configs.items() if name != "qsweep_dri"}
         line_obj["qsweep"] = {
-            q: r.get("mpix_per_s")
+            q: [r.get("mpix_per_s"), r.get("dev")]
             for q, r in compact_configs.get("qsweep_dri", {}).items()
             if isinstance(r, dict)}
         line = json.dumps(line_obj, separators=(",", ":"))

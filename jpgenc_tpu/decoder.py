@@ -746,17 +746,66 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
     if not datas:
         return []
     chunked = chunk is not None
+    prep = _recon_jobs(datas, chunk)
+    if prep is None:
+        # geometry INCLUDES the restart interval: the segment layout drives
+        # the scan decode, so a mixed-DRI batch must go per-image
+        if to_device:
+            raise ValueError("to_device=True requires same-geometry inputs")
+        return [decode(d) for d in datas]
+    jobs = prep
+    outs_d = []
+    for job in jobs:
+        # each job materializes its chunk's host arrays lazily, so chunk
+        # i+1's padding/stacking overlaps chunk i's device work exactly as
+        # the old inline loop did
+        fn, args, qts = job()
+        outs_d.append(fn(*(jnp.asarray(a) for a in args), qts))
+    if to_device:
+        return outs_d if chunked else outs_d[0]
+    # each np.asarray blocks only on its own chunk; later chunks keep
+    # computing while earlier ones download
+    return [a[i] for o in outs_d for a in (np.asarray(o),)
+            for i in range(a.shape[0])]
+
+
+def stage_recon(datas: list[bytes], chunk: int | None = None):
+    """Pre-stage a same-geometry batch's coefficient streams in HBM and
+    return `(run, h2d_bytes)` where `run()` executes ONLY the device-side
+    densify + reconstruction dispatches (returning the per-chunk device
+    pixel arrays) and `h2d_bytes` is the coefficient payload the staging
+    uploaded. Bench/profiling helper: separates the device decode rate
+    from host parse/entropy-decode and the host->device link, which
+    otherwise dominate `decode_batch` on a slow tunnel. Time `run()` after
+    one warm forced call (the warm call also guarantees the staged
+    transfers completed)."""
+    prep = _recon_jobs(datas, chunk)
+    if prep is None:
+        raise ValueError("stage_recon requires same-geometry inputs")
+    staged = []
+    h2d = 0
+    for job in prep:
+        fn, args, qts = job()
+        h2d += sum(a.nbytes for a in args)
+        staged.append((fn, [jnp.asarray(a) for a in args], qts))
+
+    def run():
+        return [fn(*dev, qts) for fn, dev, qts in staged]
+    return run, h2d
+
+
+def _recon_jobs(datas: list[bytes], chunk: int | None):
+    """Host-side half of decode_batch: parse + entropy-decode + upload-form
+    selection. Returns a list of per-chunk thunks, each yielding
+    (jitted_recon_fn, host_input_arrays, device_qt_slices) — or None when
+    the batch mixes geometries and must go per-image."""
     parsed = [parse_jpeg(d) for d in datas]
 
     def _geom(p):
         return (p.height, p.width, p.subsampling, p.restart_interval)
 
     if any(_geom(p) != _geom(parsed[0]) for p in parsed):
-        # geometry INCLUDES the restart interval: the segment layout drives
-        # the scan decode, so a mixed-DRI batch must go per-image
-        if to_device:
-            raise ValueError("to_device=True requires same-geometry inputs")
-        return [decode(d) for d in datas]
+        return None
     layout = layout_from_parsed(parsed[0])
 
     # across-image parallelism via the pool; within-image segment threading
@@ -830,32 +879,30 @@ def decode_batch(datas: list[bytes], to_device: bool = False,
     qts_all = [jnp.asarray(np.stack([row[i] for row in qts_b]))
                for i in range(n_comps)]
 
-    outs_d = []
+    jobs = []
     for ci, c0 in enumerate(range(0, b, chunk)):
         nb = len(parsed[c0:c0 + chunk])
         qts = [q[c0:c0 + nb] for q in qts_all]
         if use_packed:
-            mp, exc = _pad_packed(*flats[ci], cap_m, cap_e, nb * n64)
-            form = "fused_packedflat" if fused else "packedflat"
-            outs_d.append(_recon_jit(layout, batch=nb, form=form,
-                                     interpret=interp)(
-                jnp.asarray(mp), jnp.asarray(exc), qts))
+            def job(ci=ci, nb=nb, qts=qts):
+                mp, exc = _pad_packed(*flats[ci], cap_m, cap_e, nb * n64)
+                form = "fused_packedflat" if fused else "packedflat"
+                return (_recon_jit(layout, batch=nb, form=form,
+                                   interpret=interp), (mp, exc), qts)
         elif sparse:
-            rows = pairs[c0:c0 + chunk]
-            sp = jnp.asarray(np.stack(
-                [_rows_from_pairs(i, v, n64, cap) for i, v in rows]))
-            outs_d.append(
-                _recon_jit(layout, batch=nb, sparse=True)(sp, qts))
+            def job(c0=c0, nb=nb, qts=qts):
+                rows = pairs[c0:c0 + chunk]
+                sp = np.stack(
+                    [_rows_from_pairs(i, v, n64, cap) for i, v in rows])
+                return (_recon_jit(layout, batch=nb, sparse=True), (sp,),
+                        qts)
         else:
-            rows = pairs[c0:c0 + chunk]
-            dense = np.zeros((len(rows), n64), np.int16)
-            for r, (i, v) in enumerate(rows):
-                dense[r, i] = v
-            outs_d.append(_recon_jit(layout, batch=nb)(
-                jnp.asarray(dense.reshape(-1, n_total, 64)), qts))
-    if to_device:
-        return outs_d if chunked else outs_d[0]
-    # each np.asarray blocks only on its own chunk; later chunks keep
-    # computing while earlier ones download
-    return [a[i] for o in outs_d for a in (np.asarray(o),)
-            for i in range(a.shape[0])]
+            def job(c0=c0, nb=nb, qts=qts):
+                rows = pairs[c0:c0 + chunk]
+                dense = np.zeros((len(rows), n64), np.int16)
+                for r, (i, v) in enumerate(rows):
+                    dense[r, i] = v
+                return (_recon_jit(layout, batch=nb),
+                        (dense.reshape(-1, n_total, 64),), qts)
+        jobs.append(job)
+    return jobs

@@ -213,3 +213,21 @@ def test_decode_opencv_and_tf_files(rgb_image):
     ours2 = decode(data2)
     ref2 = np.asarray(Image.open(io.BytesIO(data2)).convert("RGB"))
     assert psnr(ours2, ref2) > 45.0
+
+
+def test_stage_recon_matches_decode_batch(rgb_image):
+    """stage_recon (the bench's device-only decode helper) must produce
+    exactly the pixels decode_batch does, and repeat runs must be pure
+    (device-resident inputs are never consumed)."""
+    from jpgenc_tpu.decoder import decode_batch, stage_recon
+    files = [api.encode(rgb_image, quality=q) for q in (75, 90, 75, 50)]
+    ref = decode_batch(files, chunk=2)
+    run, h2d = stage_recon(files, chunk=2)
+    assert h2d > 0
+    outs = [np.asarray(o) for o in run()]
+    got = [a[i] for a in outs for i in range(a.shape[0])]
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(g, r)
+    outs2 = [np.asarray(o) for o in run()]
+    for a, b2 in zip(outs, outs2):
+        np.testing.assert_array_equal(a, b2)
