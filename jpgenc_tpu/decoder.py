@@ -478,7 +478,8 @@ def pixel_fn(layout: FrameLayout):
 
 
 def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
-               form: str | None = None, interpret: bool = False):
+               form: str | None = None, interpret: bool = False,
+               caps: tuple | None = None):
     """One jitted blocks->pixels pipeline per layout geometry (the whole
     reconstruction — dezigzag/dequant/IDCT/upsample/color — compiles to a
     single device dispatch instead of per-component un-jitted helpers).
@@ -499,17 +500,24 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
       lookup at all — scan position space IS the MCU-major layout) and the
       whole reconstruction runs as the fused Pallas kernel
       (ops/pallas/recon.py) instead of the vmapped XLA chain
+    - "fused_packed1": the fused_packed inputs folded into ONE u8 buffer
+      [qtables i32 | exceptions i16 | main stream] (caps=(cap_m, cap_e)
+      makes the static split offsets part of the cache key). Single-image
+      decode used to pay up to 5 host->device transfers per call (3 quant
+      tables + stream + exceptions); on this platform each put carries a
+      flat ~20-25 ms sync latency, so the transfer COUNT, not the bytes,
+      set the warm single-image floor (VERDICT r4 #7).
     """
     if form is None:
         form = "pairs" if sparse else "dense"
     key = (layout.height, layout.width, layout.subsampling, batch, form,
-           interpret)
+           interpret, caps)
     fn = _RECON.get(key)
     if fn is not None:
         return fn
     n_total = sum(c.n_blocks for c in layout.comps)
 
-    if form in ("fused_packed", "fused_packedflat"):
+    if form in ("fused_packed", "fused_packedflat", "fused_packed1"):
         from jpgenc_tpu.ops.pallas.recon import fused_recon_rgb
         c0 = layout.comps[0]
         L = 64 if layout.is_gray else (c0.hs * c0.vs + 2) * 64
@@ -517,7 +525,7 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
         n_scan64 = layout.n_scan * 64
         B = max(batch, 1)
 
-        def _fused_fn(main, exc, qts):
+        def _fused_core(main, exc, qts):
             # scan-position space is already MCU-major: scatter positions
             # directly, no scan_flat lookup. The main scatter is an ADD for
             # pad-hop int32-wrap safety (pads carry value 0, real positions
@@ -541,7 +549,24 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
                                   interpret=interpret)
             return out if batch else out[0]
 
-        fn = jax.jit(_fused_fn)
+        if form == "fused_packed1":
+            n_comps = len(layout.comps)
+            cap_m, cap_e = caps
+            o_exc = 256 * n_comps
+            o_main = o_exc + 6 * cap_e
+
+            def _one_fn(buf):
+                qts_all = jax.lax.bitcast_convert_type(
+                    buf[:o_exc].reshape(n_comps, 64, 4), jnp.int32)
+                qts = [qts_all[i] for i in range(n_comps)]
+                exc = jax.lax.bitcast_convert_type(
+                    buf[o_exc:o_main].reshape(3, cap_e, 2), jnp.int16)
+                main = buf[o_main:].reshape(cap_m, 2)
+                return _fused_core(main, exc, qts)
+
+            fn = jax.jit(_one_fn)
+        else:
+            fn = jax.jit(_fused_core)
         _RECON[key] = fn
         return fn
 
@@ -688,22 +713,35 @@ def decode(data: bytes, to_device: bool = False):
     pk = scan_packed(parsed, layout)
     if pk is not None:
         main, eidx, evals = pk
-        qts = [jnp.asarray(np.asarray(q).reshape(64).astype(np.int32))
-               for q in _qts_of(parsed)]
+        qts_host = [np.asarray(q).reshape(64).astype(np.int32)
+                    for q in _qts_of(parsed)]
         cap_m, cap_e = _sparse_cap(main.shape[0]), _exc_cap(eidx.size)
         if _packed_wins(cap_m, cap_e, n64):
             fused, interp = _fused_mode(layout)
             if fused:
                 mp, exc = _pad_packed(main, _scan_space_eidx(eidx, layout),
                                       evals, cap_m, cap_e, n64)
-                out = _recon_jit(layout, form="fused_packed",
-                                 interpret=interp)(
-                    jnp.asarray(mp), jnp.asarray(exc), qts)
+                # ONE upload carrying [qtables | exceptions | stream]: each
+                # host->device put costs a flat ~20-25 ms sync on this
+                # platform, so the transfer COUNT (not bytes) set the warm
+                # single-image decode floor when this was 5 separate puts
+                o_exc = 256 * len(qts_host)
+                o_main = o_exc + 6 * cap_e
+                buf = np.empty(o_main + 2 * cap_m, np.uint8)
+                buf[:o_exc] = np.stack(qts_host).view(np.uint8).ravel()
+                buf[o_exc:o_main] = np.ascontiguousarray(exc) \
+                    .view(np.uint8).ravel()
+                buf[o_main:] = mp.ravel()
+                out = _recon_jit(layout, form="fused_packed1",
+                                 interpret=interp, caps=(cap_m, cap_e))(
+                    jnp.asarray(buf))
                 return out if to_device else np.asarray(out)
+            qts = [jnp.asarray(q) for q in qts_host]
             mp, exc = _pad_packed(main, eidx, evals, cap_m, cap_e, n64)
             out = _recon_jit(layout, form="packed")(
                 jnp.asarray(mp), jnp.asarray(exc), qts)
         else:
+            qts = [jnp.asarray(q) for q in qts_host]
             # pathological dense content: unpack on host (no second
             # entropy decode) and upload the dense tensor
             idx2, val2 = _pairs_from_packed(pk, layout)
