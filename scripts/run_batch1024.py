@@ -115,7 +115,10 @@ def main() -> None:
     ap.add_argument("--i1", type=int, default=0)
     ap.add_argument("--manifest", default="")
     ap.add_argument("--n", type=int, default=1024)
-    ap.add_argument("--slice-size", type=int, default=170)
+    # default 160 = 10 whole 16-frame chunks (~1.0 GB staged, inside the
+    # pool) — keeping every chunk the same shape avoids a remainder-batch
+    # executable compile in each worker
+    ap.add_argument("--slice-size", type=int, default=160)
     ap.add_argument("--kill-slice", type=int, default=2)
     ap.add_argument("--out", default="BATCH1024_r05.json")
     args = ap.parse_args()
@@ -126,6 +129,14 @@ def main() -> None:
 
     gen_s = gen_inputs(args.root, args.n)
     _log(f"inputs ready ({gen_s:.0f} s generation)")
+    # fresh run: stale manifests/outputs from an earlier invocation would
+    # corrupt both the kill-lane assertions and the wall-clock claim
+    # (resume-across-invocations is exercised INSIDE the run, by the kill
+    # lane). Inputs are kept.
+    import glob
+    for f in glob.glob(os.path.join(args.root, "manifest_*.jsonl")) + \
+            glob.glob(os.path.join(args.root, "out", "*.jpg")):
+        os.remove(f)
     slices = [(i, min(i + args.slice_size, args.n))
               for i in range(0, args.n, args.slice_size)]
     kill_info = None
@@ -136,8 +147,9 @@ def main() -> None:
             # fault-injection lane: SIGKILL the worker (exact PID) once its
             # manifest shows real progress, then relaunch and require the
             # resume to skip everything the manifest recorded
+            thresh = min(48, max(8, (i1 - i0) // 3))
             p = _spawn(args.root, i0, i1, manifest)
-            while _manifest_lines(manifest) < 48:
+            while _manifest_lines(manifest) < thresh:
                 if p.poll() is not None:
                     raise RuntimeError("kill-lane worker exited early")
                 time.sleep(0.5)
@@ -149,7 +161,7 @@ def main() -> None:
             p = _spawn(args.root, i0, i1, manifest)
             out, _ = p.communicate()
             res = json.loads(out.strip().splitlines()[-1])
-            assert res["skipped"] >= min(48, lines_at_kill) and \
+            assert res["skipped"] >= min(thresh, lines_at_kill) and \
                 res["done"] + res["skipped"] == i1 - i0, res
             kill_info = {"slice": s, "pid_killed": True,
                          "manifest_lines_at_kill": lines_at_kill,
