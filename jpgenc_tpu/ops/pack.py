@@ -87,19 +87,22 @@ def w_blk_for_quality(quality: int) -> int:
     tier, then the 56-word worst tier that covers MAX_BLOCK_BITS and can
     never overflow).
 
-    Q81-95 use 16: per-block word statistics measured across a smooth
-    fixture, sigma-60 noise, hard edges and dense texture top out at 15
-    words at Q95 (docs/PERFORMANCE.md round 4), so 16 covers hard content
-    with the narrowest fused merge. Same-process A/B runs put w_blk 16/24/
-    32 within the tunnel's +-15% noise (the rows mix tier-width compute
-    with content-byte D2H), while the split-path w_blk=32 alternative
-    re-measured strictly SLOWER than fused (Q90 541 vs ~700, Q95 419 vs
-    ~480), retiring the r3 Q90 anomaly. Q96+ keep 24 (extreme-quality
-    noise can exceed 16 words/block and a first-tier overflow costs a full
-    ladder retry). Pathological content escalates as before.
+    Tiers are sized from per-block word statistics measured across a
+    smooth fixture, sigma-60 noise, hard edges and dense texture
+    (docs/PERFORMANCE.md round 4): worst content needs 10 words at Q85,
+    12 at Q90, 15 at Q95. Q81-90 therefore use 12 — legal since the
+    paired merge flushes partial chunks (r5), and measured FASTER than 16
+    in the link-free device-only A/B (Q90: w8 999 / w12 841 / w16 789
+    MPix/s, scripts/ab_hiq_w12.py — merge instruction count scales with
+    w_blk; w8 would overflow hard content at these qualities and cost a
+    full ladder retry). Q91-95 use 16 (covers the 15-word worst case).
+    Q96+ keep 24 (extreme-quality noise can exceed 16 words/block).
+    Pathological content escalates through the ladder as before.
     """
     if quality <= 80:
         return 8
+    if quality <= 90:
+        return 12
     if quality <= 95:
         return 16
     return 24

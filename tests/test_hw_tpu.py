@@ -166,16 +166,25 @@ def test_full_encode_on_hw(tpu, frame):
 
 def test_packed_decode_on_hw(tpu, frame):
     """Round-3 decode path on the real chip: packed 2-byte coefficient
-    upload + in-dispatch densify (single and chunk-flat batched), decoded
-    pixels identical to the dense-forced reference path."""
+    upload + in-dispatch densify (single and chunk-flat batched) against
+    the dense-forced reference path. Coefficient streams are bit-exact
+    across forms; decoded PIXELS come out of separately compiled XLA
+    recon executables, so the comparison uses the knife-edge parity
+    bound (|diff| <= 1 on a vanishing fraction) — the same policy as the
+    CPU suite's pixel_parity fixture."""
     import jpgenc_tpu.decoder as D
     from jpgenc_tpu import native
     from jpgenc_tpu.api import encode
 
+    def parity(a, b):
+        d = np.abs(np.asarray(a).astype(np.int64)
+                   - np.asarray(b).astype(np.int64))
+        assert d.max() <= 1 and (d > 0).sum() / d.size < 1e-3
+
     files = [encode(frame, quality=q, restart_interval=r)
              for q, r in ((75, 0), (92, 4), (50, 8))]
     D._FUSED_OVERRIDE = False     # pin the XLA recon: this test isolates
-    try:                          # the upload FORMS (exact equality)
+    try:                          # the upload FORMS
         got_single = [D.decode(f) for f in files]
         got_batch = D.decode_batch([files[0]] * 3, chunk=2)
 
@@ -188,9 +197,9 @@ def test_packed_decode_on_hw(tpu, frame):
     finally:
         D._FUSED_OVERRIDE = None
     for g, r in zip(got_single, ref):
-        np.testing.assert_array_equal(g, r)
+        parity(g, r)
     for g in got_batch:
-        np.testing.assert_array_equal(g, ref[0])
+        parity(g, ref[0])
 
 
 def test_mesh_decode_on_hw(tpu, frame):

@@ -232,8 +232,11 @@ class TestPackedDecode:
         pk = self._roundtrip(img, quality=50)
         assert (pk[0][:, 0] == 255).any(), "expected phantom hops"
 
-    def test_packed_device_decode_matches(self, rgb_image, gray_image):
-        """Full decode() (packed device path) == dense-forced decode."""
+    def test_packed_device_decode_matches(self, rgb_image, gray_image,
+                                          pixel_parity):
+        """Full decode() (packed device path) == dense-forced decode
+        (knife-edge pixel-parity bound: different upload forms compile to
+        different executables — see the pixel_parity fixture)."""
         import jpgenc_tpu.decoder as D
         for img, kw in ((rgb_image, dict(quality=92, subsampling="422")),
                         (gray_image, dict(quality=75, restart_interval=4))):
@@ -245,18 +248,18 @@ class TestPackedDecode:
                 ref = D.decode(data)
             finally:
                 native.available = orig
-            np.testing.assert_array_equal(got, ref)
+            pixel_parity(got, ref)
 
-    def test_packed_batch_matches_single(self, rng):
+    def test_packed_batch_matches_single(self, rng, pixel_parity):
         from jpgenc_tpu.decoder import decode, decode_batch
         imgs = [rng.integers(0, 256, (48, 64, 3), np.uint8)
                 for _ in range(5)]
         files = [encode(i, quality=85) for i in imgs]
         got = decode_batch(files, chunk=2)
         for g, f in zip(got, files):
-            np.testing.assert_array_equal(g, decode(f))
+            pixel_parity(g, decode(f))
 
-    def test_packed_flat_bridging(self, rng):
+    def test_packed_flat_bridging(self, rng, pixel_parity):
         """Chunk-flat stream: frames with empty/sparse coefficient streams
         (flat gray = all-zero) between dense frames exercise the bridge
         phantoms across whole frames."""
@@ -268,9 +271,10 @@ class TestPackedDecode:
         files = [encode(i, quality=75) for i in imgs]
         got = decode_batch(files, chunk=4)
         for g, f in zip(got, files):
-            np.testing.assert_array_equal(g, decode(f))
+            pixel_parity(g, decode(f))
 
-    def test_packed_dense_fallback(self, rgb_image, monkeypatch):
+    def test_packed_dense_fallback(self, rgb_image, monkeypatch,
+                                   pixel_parity):
         """When packed loses to dense (pathological content), decode()
         host-unpacks the packed stream instead of entropy-decoding twice —
         pixels must be identical."""
@@ -278,7 +282,7 @@ class TestPackedDecode:
         data = encode(rgb_image, quality=90, restart_interval=3)
         ref = D.decode(data)
         monkeypatch.setattr(D, "_packed_wins", lambda *a: False)
-        np.testing.assert_array_equal(D.decode(data), ref)
+        pixel_parity(D.decode(data), ref)
 
     def test_pairs_from_packed_matches_scan_pairs(self, rng):
         """The no-second-decode fallback conversion (packed -> pairs on
@@ -323,7 +327,7 @@ class TestPackedDecode:
             np.testing.assert_array_equal(got, ref)
 
     @pytest.mark.parametrize("hw", [(1, 1), (7, 5), (16, 1), (17, 31)])
-    def test_packed_decode_odd_geometries(self, rng, hw):
+    def test_packed_decode_odd_geometries(self, rng, hw, pixel_parity):
         """Tiny/odd image geometries through the packed device path equal
         the python dense reference (1-pixel, single-row/column, non-MCU
         sizes)."""
