@@ -79,10 +79,11 @@ def _launch_collect(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch):
     collect(pending) -> (files, d2h_bytes_this_batch)."""
     from jpgenc_tpu.engine import (combined_fetch, fetch_prefix,
                                    finalize_host_w, split_fetch)
-    from jpgenc_tpu.ops.pack import seg_nwords_aligned
+    from jpgenc_tpu.ops.pack import seg_nwords_aligned, walign_for
 
     n_rst = layout.n_segments - 1
     n_seg = layout.n_segments
+    wal = walign_for(layout.blocks_per_segment)
 
     cap_w = fns["caps"][0] // 4
     guess = [1024]   # adaptive prefix-length guess (u32 words), per stream
@@ -102,15 +103,15 @@ def _launch_collect(layout, plan, fns, qt_dev, luts, frames_dev, hdr, batch):
         arr = np.asarray(handle)
         d2h = arr.nbytes
         up, nb, ov = split_fetch(arr, k, n_seg)
-        total_w = int(seg_nwords_aligned(nb).sum(axis=1).max())
+        total_w = int(seg_nwords_aligned(nb, wal).sum(axis=1).max())
         assert not ov.any() and total_w <= cap_w, \
             "capacity tier overflow — bench config needs a bigger tier"
         if total_w > up.shape[-1]:
             up = fetch_prefix(u, total_w)
             d2h += up.nbytes
         guess[0] = max(total_w, 1024)
-        return [hdr + finalize_host_w(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
-                for i in range(batch)], d2h
+        return [hdr + finalize_host_w(up[i], nb[i], 0, n_rst, wal)
+                + b"\xff\xd9" for i in range(batch)], d2h
 
     return launch, collect
 

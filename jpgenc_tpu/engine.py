@@ -29,8 +29,9 @@ from jpgenc_tpu.ops import color as C
 from jpgenc_tpu.ops import transform as X
 from jpgenc_tpu.ops.entropy import EntropyLUTs, SymbolPlan, make_pieces, symbol_histogram
 from jpgenc_tpu.ops.pack import (MAX_BLOCK_BITS, block_pack, compact_unstuffed,
-                                 pack_segments, segments_from_blocks,
-                                 w_blk_for_quality, wcompact_unstuffed,
+                                 pack_segments, seg_nwords_aligned,
+                                 segments_from_blocks, w_blk_for_quality,
+                                 walign_for, wcompact_unstuffed,
                                  words_per_segment)
 from jpgenc_tpu.ref.bitio import stuff_bytes
 
@@ -370,6 +371,7 @@ class DevicePlan:
         if key not in self._bytes_fns:
             lay, n_seg = self.layout, self.n_seg
             cap_w = cap_u // 4
+            wal = walign_for(lay.blocks_per_segment)
             use_pallas = use_pallas_default()
 
             from jpgenc_tpu.ops.pallas.k1a_fused import k1a_applicable
@@ -392,19 +394,19 @@ class DevicePlan:
                     zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
                     w, b, ovf = scan_to_segments_blocked(zz, plan, luts,
                                                          n_seg, w_blk)
-                return wcompact_unstuffed(w, b, cap_w) + (ovf,)
+                return wcompact_unstuffed(w, b, cap_w, wal) + (ovf,)
 
             @jax.jit
             def _entropy_bytes(blocks, plan, scan_flat, luts):
                 zz = blocks_to_scan(blocks, scan_flat)
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
-                return wcompact_unstuffed(w, b, cap_w) + (ovf,)
+                return wcompact_unstuffed(w, b, cap_w, wal) + (ovf,)
 
             @jax.jit
             def _entropy_bytes_zz(zz, plan, luts):
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts,
                                                      n_seg, w_blk)
-                return wcompact_unstuffed(w, b, cap_w) + (ovf,)
+                return wcompact_unstuffed(w, b, cap_w, wal) + (ovf,)
 
             self._bytes_fns[key] = {"encode": _encode_bytes,
                                     "entropy": _entropy_bytes,
@@ -422,8 +424,8 @@ class DevicePlan:
                                    self._prefix_guess)
         up, nbits, ovf = split_fetch(np.asarray(handle), k,
                                      nbits_dev.shape[-1])
-        from jpgenc_tpu.ops.pack import seg_nwords_aligned
-        total_w = int(seg_nwords_aligned(nbits.astype(np.int64)).sum())
+        wal = walign_for(self.layout.blocks_per_segment)
+        total_w = int(seg_nwords_aligned(nbits.astype(np.int64), wal).sum())
         if bool(ovf) or total_w > cap_u // 4:
             return b"", False
         if total_w > up.shape[-1]:
@@ -436,7 +438,7 @@ class DevicePlan:
             nbits = nbits[:n_seg_keep]
         if n_rst < 0:
             n_rst = len(nbits) - 1
-        return finalize_host_w(up, nbits, first_rst, n_rst), True
+        return finalize_host_w(up, nbits, first_rst, n_rst, wal), True
 
     def encode_scan_bytes(self, img, qtabs, luts, cap_u: int,
                           w_blk: int, first_rst: int = 0, n_rst: int = -1,
@@ -615,7 +617,7 @@ def finalize_host(u: np.ndarray, nbytes: np.ndarray, first_rst: int,
 
 
 def finalize_host_w(up: np.ndarray, nbits: np.ndarray, first_rst: int,
-                    n_rst: int) -> bytes:
+                    n_rst: int, walign: int) -> bytes:
     """Word-compact device stream -> stuffed scan with RSTn joins.
 
     The host half of ops.pack.wcompact_unstuffed: the downloaded u32
@@ -627,10 +629,9 @@ def finalize_host_w(up: np.ndarray, nbits: np.ndarray, first_rst: int,
     """
     from jpgenc_tpu import native
     if native.available():
-        out = native.finalize_wcompact(up, nbits, first_rst, n_rst)
+        out = native.finalize_wcompact(up, nbits, first_rst, n_rst, walign)
         if out is not None:
             return out
-    from jpgenc_tpu.ops.pack import seg_nwords_aligned
     b = np.ascontiguousarray(up).view(np.uint8)
     parts = []
     wb = 0
@@ -645,7 +646,7 @@ def finalize_host_w(up: np.ndarray, nbits: np.ndarray, first_rst: int,
         parts.append((np.insert(seg, ff + 1, 0) if ff.size else seg).tobytes())
         if s < n_rst:
             parts.append(bytes([0xFF, 0xD0 + ((first_rst + s) & 7)]))
-        wb += int(seg_nwords_aligned(bits))   # WALIGN-chunked starts
+        wb += int(seg_nwords_aligned(bits, walign))   # chunked starts
     return b"".join(parts)
 
 
@@ -690,10 +691,12 @@ def scan_caps(layout: FrameLayout, quality: int,
     device pipeline. The host word path survives only as a last-resort
     safety net.
     """
-    # +32 bytes/segment: WALIGN-chunked segment starts in the wcompact
-    # stream (ops.pack.seg_nwords_aligned) waste up to 28 pad bytes each
+    # +4*walign bytes/segment: chunk-aligned segment starts in the
+    # wcompact stream (ops.pack.seg_nwords_aligned) waste up to
+    # 4*walign - 4 pad bytes each
+    wal = walign_for(layout.blocks_per_segment)
     worst = sum(c.n_blocks for c in layout.comps) * MAX_BLOCK_BITS // 8 + \
-        32 * layout.n_segments + 8
+        4 * wal * layout.n_segments + 8
     if tier == "worst":
         # stuffing at most doubles the data bytes (every byte 0xFF)
         return worst, 2 * worst + 16
@@ -702,7 +705,8 @@ def scan_caps(layout: FrameLayout, quality: int,
         bpp = 0.5 if quality <= 80 else (1.0 if quality <= 92 else 2.0)
     else:
         bpp = 2.0 if quality <= 80 else (4.0 if quality <= 92 else 7.0)
-    cap_u = min(int(px * bpp / 8) + 1024 + 32 * layout.n_segments, worst)
+    cap_u = min(int(px * bpp / 8) + 1024 + 4 * wal * layout.n_segments,
+                worst)
     cap_u = -(-cap_u // 1024) * 1024
     cap_s = cap_u + cap_u // 16 + 64
     return cap_u, cap_s

@@ -87,7 +87,8 @@ def _load_inner():
     ]
     lib.finalize_wcompact.restype = ctypes.c_int64
     lib.finalize_wcompact.argtypes = [
-        u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, u8p,
+        u8p, i32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p,
     ]
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     lib.decode_scan_sparse.restype = ctypes.c_int64
@@ -258,10 +259,12 @@ def finalize_compact(u: np.ndarray, seg_nbytes: np.ndarray,
 
 
 def finalize_wcompact(u: np.ndarray, seg_nbits: np.ndarray,
-                      first_rst: int, n_rst: int) -> bytes | None:
+                      first_rst: int, n_rst: int,
+                      walign: int) -> bytes | None:
     """Word-compact device stream (LE u32 memory image = byte stream) ->
     stuffed scan with RSTn joins. u: the downloaded u32 buffer viewed or
-    passed as bytes; seg_nbits: per-segment bit counts."""
+    passed as bytes; seg_nbits: per-segment bit counts; walign: the
+    layout's wcompact chunk width (ops.pack.walign_for)."""
     lib = _load()
     if lib is None:
         return None
@@ -270,7 +273,8 @@ def finalize_wcompact(u: np.ndarray, seg_nbits: np.ndarray,
     n_seg = seg_nbits.size
     total = int(((seg_nbits.astype(np.int64) + 7) >> 3).sum())
     out = np.empty(2 * total + 2 * n_seg + 2, np.uint8)
-    n = lib.finalize_wcompact(u, seg_nbits, n_seg, first_rst, n_rst, out)
+    n = lib.finalize_wcompact(u, seg_nbits, n_seg, first_rst, n_rst,
+                              walign, out)
     return out[:n].tobytes()
 
 

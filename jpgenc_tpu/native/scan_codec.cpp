@@ -396,12 +396,13 @@ int64_t finalize_compact(const uint8_t* u, const int32_t* seg_nbytes,
 // Word-compact variant of finalize_compact: the device byte-swapped each
 // u32 so the downloaded buffer's memory image IS the byte stream, with
 // segment s's ceil(bits/8) bytes starting at byte offset 4*wbase[s]
-// (wbase = exclusive cumsum of ceil(bits/32) rounded up to 8-word chunks —
-// must match ops.pack.seg_nwords_aligned). This sets each segment's
+// (wbase = exclusive cumsum of ceil(bits/32) rounded up to walign-word
+// chunks — walign MUST equal ops.pack.walign_for(blocks_per_segment) for
+// the layout that produced the stream). This sets each segment's
 // T.81 F.1.2.3 1-padding in its final byte, stuffs FF->FF00 and joins
 // segments with RSTn. out must hold 2x total bytes + 2*n_seg.
 int64_t finalize_wcompact(const uint8_t* u, const int32_t* seg_nbits,
-                          int n_seg, int first_rst, int n_rst,
+                          int n_seg, int first_rst, int n_rst, int walign,
                           uint8_t* out) {
     int64_t o = 0, wbase = 0;
     for (int s = 0; s < n_seg; ++s) {
@@ -419,7 +420,8 @@ int64_t finalize_wcompact(const uint8_t* u, const int32_t* seg_nbits,
             out[o++] = 0xFF;
             out[o++] = (uint8_t)(0xD0 + ((first_rst + s) & 7));
         }
-        wbase += (((nbits + 31) >> 5) + 7) & ~(int64_t)7;   // WALIGN chunks
+        // walign chunks — matches ops.pack.seg_nwords_aligned
+        wbase += (((nbits + 31) >> 5) + walign - 1) & ~(int64_t)(walign - 1);
     }
     return o;
 }

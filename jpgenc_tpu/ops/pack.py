@@ -159,23 +159,42 @@ def segments_from_blocks(buf: jnp.ndarray, bits: jnp.ndarray,
     return out.reshape(n_seg, w_seg), seg_bits
 
 
-WALIGN = 8   # wcompact segment starts are 8-word (32 B) aligned — lets the
-             # multi-segment compaction run as a chunk ROW gather (cost is
-             # per index, not per element on this platform) instead of a
-             # per-word gather; costs <= 28 pad bytes per segment
+def walign_for(blocks_per_segment: int) -> int:
+    """Static per-layout wcompact chunk width in words: segment starts in
+    the compact stream are walign-word aligned, making the multi-segment
+    compaction a chunk ROW gather whose index count is cap_w/walign (cost
+    is per index, not per element on this platform — the wcompact was the
+    dominant high-Q DRI device cost). Bigger chunks halve the gather
+    indices but waste up to 4*walign-4 pad bytes per segment, so the
+    width scales with the segment size: measured Q95 DRI120 device-only
+    671 (8 words) -> 757 (16) -> 805 (32) -> 907 MPix/s (64), while a
+    DRI=4 file's 24-block segments stay on small chunks instead of
+    paying ~256 pad bytes against ~500 content bytes. The choice is a
+    pure function of the layout, so every consumer of the stream (device
+    compaction, host finalize, native C++ finalize, capacity and
+    prefix-length computations) derives the same value."""
+    if blocks_per_segment >= 256:
+        return 64
+    if blocks_per_segment >= 64:
+        return 32
+    if blocks_per_segment >= 16:
+        return 16
+    return 8
 
 
-def seg_nwords_aligned(nbits):
+def seg_nwords_aligned(nbits, walign: int):
     """Words a segment occupies in the wcompact stream: ceil(bits/32)
-    rounded up to the WALIGN chunk. Shared by the device compaction, the
-    host finalize offsets and every capacity/prefix-length computation
-    (np and jnp arrays both work)."""
+    rounded up to the walign chunk (walign_for(layout.blocks_per_segment)
+    — every caller must derive it from the SAME layout). Shared by the
+    device compaction, the host finalize offsets and every
+    capacity/prefix-length computation (np and jnp arrays both work)."""
     nw = (nbits + 31) >> 5
-    return (nw + (WALIGN - 1)) & -WALIGN
+    return (nw + (walign - 1)) & -walign
 
 
 def wcompact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
-                       cap_w: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                       cap_w: int, walign: int
+                       ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Device-side finalize at WORD granularity: segments -> one compact
     u32 stream whose little-endian MEMORY IMAGE is the unstuffed byte
     stream (each word byte-swapped on device, so the host just views the
@@ -185,8 +204,8 @@ def wcompact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
     byte-expansion entirely for the no-DRI case (a pure bswap of a static
     word slice, ~0.4 ms/frame at 1080p on this chip) and cuts the
     restart-interval gather to a quarter of the indices (word- instead of
-    byte-granular; segments start word-aligned in the stream, costing at
-    most 3 padding bytes each — covered by scan_caps' +2/segment slack).
+    byte-granular; segments start walign-chunk-aligned in the stream —
+    the pad bytes are covered by scan_caps' per-segment slack).
 
     The host (engine.finalize_host_w / native.finalize_wcompact) slices
     each segment's ceil(bits/8) bytes at offset 4*wbase[s], sets the T.81
@@ -215,30 +234,33 @@ def wcompact_unstuffed(seg_words: jnp.ndarray, seg_bits: jnp.ndarray,
             out = jnp.pad(out, (0, cap_w - k))
         return jax.lax.bitcast_convert_type(out, jnp.uint32), nbits
 
-    # multi-segment (restart intervals): segment starts are WALIGN-aligned
+    # multi-segment (restart intervals): segment starts are walign-aligned
     # in the compact stream (seg_nwords_aligned — the host finalize uses
-    # the same offsets), so the compaction is a CHUNK row gather: cap_w/8
-    # data-dependent row indices instead of cap_w word indices. Measured
-    # 4.5 ms/frame -> ~0.2 on this chip at 1080p DRI=120 (the per-index
-    # ~10 ns rule, docs/PERFORMANCE.md).
+    # the same offsets), so the compaction is a CHUNK row gather:
+    # cap_w/walign data-dependent row indices instead of cap_w word
+    # indices. Measured 4.5 ms/frame -> ~0.2 on this chip at 1080p DRI=120
+    # (the per-index ~10 ns rule, docs/PERFORMANCE.md).
+    wshift = walign.bit_length() - 1
     nw = (nbits + 31) >> 5                            # content words
-    nwa = seg_nwords_aligned(nbits)
+    nwa = seg_nwords_aligned(nbits, walign)
     wbase = jnp.cumsum(nwa) - nwa                     # aligned starts
-    cap_c = -(-cap_w // WALIGN)
+    cap_c = -(-cap_w // walign)
 
     # chunk -> segment map: mark starts, prefix-count (duplicate starts from
     # empty segments resolve to the LAST one — it owns the chunk)
-    marks = jnp.zeros((cap_c,), _I32).at[wbase >> 3].add(1, mode="drop")
+    marks = jnp.zeros((cap_c,), _I32).at[wbase >> wshift].add(1,
+                                                              mode="drop")
     s = jnp.clip(jnp.cumsum(marks) - 1, 0, n_seg - 1)  # [cap_c]
 
-    # source rows: segment words padded to whole chunks, viewed [rows, 8]
-    w8 = -(-w // WALIGN)
-    rows = jnp.pad(words_i, ((0, 0), (0, w8 * WALIGN - w))) \
-        .reshape(n_seg * w8, WALIGN)
-    q8 = jnp.arange(cap_c, dtype=_I32) - (wbase[s] >> 3)
-    chunk = rows[s * w8 + jnp.clip(q8, 0, w8 - 1)]     # [cap_c, 8] row gather
+    # source rows: segment words padded to whole chunks, viewed
+    # [rows, walign]
+    w8 = -(-w // walign)
+    rows = jnp.pad(words_i, ((0, 0), (0, w8 * walign - w))) \
+        .reshape(n_seg * w8, walign)
+    q8 = jnp.arange(cap_c, dtype=_I32) - (wbase[s] >> wshift)
+    chunk = rows[s * w8 + jnp.clip(q8, 0, w8 - 1)]     # [cap_c, walign] rows
 
-    off = q8[:, None] * WALIGN + jnp.arange(WALIGN, dtype=_I32)[None, :]
+    off = q8[:, None] * walign + jnp.arange(walign, dtype=_I32)[None, :]
     out = jnp.where(off < nw[s][:, None], bswap(chunk), 0)
     out = out.reshape(-1)[:cap_w]
     return jax.lax.bitcast_convert_type(out, jnp.uint32), nbits

@@ -39,8 +39,8 @@ from jpgenc_tpu.container.jfif import build_headers
 from jpgenc_tpu.engine import (DevicePlan, finalize_host_w, get_plan,
                                luts_from_tables, qtables_for_quality,
                                scan_caps, scan_to_segments_blocked)
-from jpgenc_tpu.ops.pack import (seg_nwords_aligned,
-                                w_blk_for_quality, wcompact_unstuffed)
+from jpgenc_tpu.ops.pack import (seg_nwords_aligned, w_blk_for_quality,
+                                walign_for, wcompact_unstuffed)
 from jpgenc_tpu.huffman import build_codes, optimize_tables
 from jpgenc_tpu.layout import make_layout
 from jpgenc_tpu.ops.entropy import symbol_histogram
@@ -122,8 +122,8 @@ from jpgenc_tpu.utils.lru import LRUCache  # noqa: E402
 _PREFIX_GUESS = LRUCache(64)
 
 
-def _fetch_scan_rows(u, nbits, ovf, cap_u: int, guess_key: tuple
-                     ) -> dict[int, tuple]:
+def _fetch_scan_rows(u, nbits, ovf, cap_u: int, guess_key: tuple,
+                     walign: int) -> dict[int, tuple]:
     """Locally-addressable (u_prefix, nbits, ovf) rows of the batch-sharded
     finalize outputs, with ONE speculative device_get per shard: metadata
     plus an adaptively-guessed stream prefix fetched together (each extra
@@ -145,7 +145,8 @@ def _fetch_scan_rows(u, nbits, ovf, cap_u: int, guess_key: tuple
         pend.append((start, su, sn, handle, k))
     for start, su, sn, handle, k in pend:
         up, nb, ov = split_fetch(np.asarray(handle), k, sn.data.shape[-1])
-        t = int(seg_nwords_aligned(nb).sum(axis=-1).max()) if nb.size else 0
+        t = int(seg_nwords_aligned(nb, walign).sum(axis=-1).max()) \
+            if nb.size else 0
         t = min(t, cap_u // 4)
         if t > up.shape[-1]:
             up = fetch_prefix(su.data, t)
@@ -192,6 +193,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
     use_pallas = use_pallas_default(list(mesh.devices.flat))
 
     lay = plan.layout
+    wal = walign_for(lay.blocks_per_segment)
     n_seg, words = plan.n_seg, plan.words
     ax = mesh.axis_names[0]
     img_rank = 2 if lay.is_gray else 3
@@ -220,7 +222,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
             zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
             w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg,
                                                  w_blk, use_pallas=use_pallas)
-        return wcompact_unstuffed(w, b, cap_u // 4) + (ovf,)
+        return wcompact_unstuffed(w, b, cap_u // 4, wal) + (ovf,)
 
     # optimize-mode pass 1 caches the SCAN-ORDERED zigzag tensor (Pallas K1
     # on TPU): neither pass pays the raster->scan gather, and pass 2 feeds
@@ -240,7 +242,7 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
     def _entropy1_bytes(zz, splan, luts):
         w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
                                              use_pallas=use_pallas)
-        return wcompact_unstuffed(w, b, cap_u // 4) + (ovf,)
+        return wcompact_unstuffed(w, b, cap_u // 4, wal) + (ovf,)
 
     sh_blk = NamedSharding(mesh, P(ax, None, None))
 
@@ -422,8 +424,9 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
 
     # per-process assembly over addressable shards only (multi-host safe),
     # then host-side exchange so every process returns the full result list
+    wal = walign_for(layout.blocks_per_segment)
     rows = _fetch_scan_rows(u, nbytes, ovf, caps[0],
-                            ("batch", plan.key, caps))
+                            ("batch", plan.key, caps), wal)
     zz_rows = None
     local: dict[int, bytes] = {}
     shared_hdr = None if cfg.optimize_huffman else \
@@ -437,7 +440,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
             hdr = build_headers(layout, list(qt_host), dc_tables, ac_tables)
         else:
             hdr = shared_hdr
-        if bool(ov) or int(seg_nwords_aligned(nb).sum()) > caps[0] // 4:
+        if bool(ov) or int(seg_nwords_aligned(nb, wal).sum()) > caps[0] // 4:
             # rare (noise-like content overflowing the tight tier): re-run
             # only the device finalize for this image at the never-overflowing
             # worst tier, on this process's own devices — the batch stays on
@@ -462,7 +465,7 @@ def encode_batch(imgs: np.ndarray, quality: int = 75, subsampling: str = "420",
             assert ok, "worst-tier device finalize cannot overflow"
             local[i] = hdr + scan + b"\xff\xd9"
         else:
-            local[i] = (hdr + finalize_host_w(ui, nb, 0, len(nb) - 1)
+            local[i] = (hdr + finalize_host_w(ui, nb, 0, len(nb) - 1, wal)
                         + b"\xff\xd9")
     full = _exchange_rows(local)
     return [full[i] for i in range(b)]
@@ -665,8 +668,9 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
     # GLOBAL RSTn numbering (addressable shards only — multi-host safe), then
     # the per-stripe blobs are exchanged over DCN and concatenated into ONE
     # scan on every process (SURVEY.md hard part 5 / call stack 4.5)
+    wal = walign_for(stripe_layout.blocks_per_segment)
     rows = _fetch_scan_rows(u, nbytes, ovf, caps[0],
-                            ("stripe", plan.key, caps))
+                            ("stripe", plan.key, caps), wal)
     zz_rows = None
     local: dict[int, bytes] = {}
     for s in sorted(rows):
@@ -691,7 +695,7 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
             assert ok, "worst-tier device finalize cannot overflow"
             local[s] = part
             continue
-        if bool(ov) or int(seg_nwords_aligned(nb).sum()) > caps[0] // 4:
+        if bool(ov) or int(seg_nwords_aligned(nb, wal).sum()) > caps[0] // 4:
             # rare: redo only this stripe's device finalize at the
             # never-overflowing worst tier on this process's devices
             cap_u3 = scan_caps(stripe_layout, quality, "worst")[0]
@@ -708,7 +712,8 @@ def encode_striped(img: np.ndarray, n_stripes: int, quality: int = 75,
             assert ok, "worst-tier device finalize cannot overflow"
             local[s] = part
         else:
-            local[s] = finalize_host_w(us, nb[:segs_kept[s]], g0, n_rst_s)
+            local[s] = finalize_host_w(us, nb[:segs_kept[s]], g0, n_rst_s,
+                                       wal)
     full = _exchange_rows(local)
     scan = b"".join(full[s] for s in range(n_stripes))
 

@@ -55,13 +55,14 @@ def main():
     def collect(pend):
         up_dev, nbits, ovf, u = pend
         up, nb, ov = jax.device_get((up_dev, nbits, ovf))
-        from jpgenc_tpu.ops.pack import seg_nwords_aligned
-        total_w = int(seg_nwords_aligned(nb).sum(axis=1).max())
+        from jpgenc_tpu.ops.pack import seg_nwords_aligned, walign_for
+        wal = walign_for(layout.blocks_per_segment)
+        total_w = int(seg_nwords_aligned(nb, wal).sum(axis=1).max())
         assert not ov.any() and total_w <= cap_w
         if total_w > up.shape[-1]:
             up = fetch_prefix(u, total_w)
         guess[0] = max(total_w, 1024)
-        return [hdr + finalize_host_w(up[i], nb[i], 0, n_rst) + b"\xff\xd9"
+        return [hdr + finalize_host_w(up[i], nb[i], 0, n_rst, wal) + b"\xff\xd9"
                 for i in range(B)]
 
     collect(launch())  # compile + warm

@@ -17,7 +17,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from jpgenc_tpu.engine import get_plan, qtables_for_quality, luts_from_tables, scan_caps
 from jpgenc_tpu.layout import make_layout
-from jpgenc_tpu.ops.pack import w_blk_for_quality, wcompact_unstuffed
+from jpgenc_tpu.ops.pack import (w_blk_for_quality, walign_for,
+                                 wcompact_unstuffed)
 from jpgenc_tpu.ops.pallas.block_pack import packed_tables
 from jpgenc_tpu.ops.pallas.k1a_fused import fused_pixels_to_pack
 from jpgenc_tpu.ops.pallas.seg_merge import fused_seg_merge
@@ -76,7 +77,8 @@ for rst in (0, 120):
             buf, bits = fused_pixels_to_pack(img, layout, qt_dev, ptabs,
                                              w_blk)
             w, b = fused_seg_merge(buf, bits, n_seg, w_blk)
-            return wcompact_unstuffed(w, b, cap_u // 4)
+            return wcompact_unstuffed(w, b, cap_u // 4,
+                                      walign_for(layout.blocks_per_segment))
         return jax.vmap(one)(imgs)
 
     t1 = bench(pack_only, frames_dev)

@@ -16,7 +16,7 @@ import bench as B
 from jpgenc_tpu.container.jfif import build_headers
 from jpgenc_tpu.engine import fetch_prefix, finalize_host_w, prefix_slice
 from jpgenc_tpu.layout import make_layout
-from jpgenc_tpu.ops.pack import seg_nwords_aligned
+from jpgenc_tpu.ops.pack import seg_nwords_aligned, walign_for
 from jpgenc_tpu.parallel.mesh import default_mesh, put_batch
 from jpgenc_tpu.utils.fixtures import synth_frame
 
@@ -54,7 +54,8 @@ print(f"encode_bytes dispatch (forced 1-word fetch): {sec*1e3:.1f} ms/batch")
 u, nbits, ovf = fns["encode_bytes"](gdev, qt_dev, plan.plan,
                                     plan.scan_flat, luts)
 nb = np.asarray(nbits)
-total_w = int(seg_nwords_aligned(nb).sum(axis=-1).max())
+_wal = walign_for(layout.blocks_per_segment)
+total_w = int(seg_nwords_aligned(nb, _wal).sum(axis=-1).max())
 print(f"total_w {total_w} words/frame ({total_w*4/1024:.0f} KB), "
       f"x{NB} = {total_w*4*NB/1e6:.1f} MB fetch")
 
@@ -73,7 +74,8 @@ print(f"combined single-array fetch: {sec*1e3:.1f} ms/batch")
 up, nb2, ov = fetch_c()
 hdr = build_headers(layout, list(qt_host), *tabs)
 def host():
-    return [hdr + finalize_host_w(up[i], nb2[i], 0, layout.n_segments - 1)
+    return [hdr + finalize_host_w(up[i], nb2[i], 0, layout.n_segments - 1,
+                                  _wal)
             + b"\xff\xd9" for i in range(NB)]
 sec = t(host)
 print(f"host finalize x{NB}: {sec*1e3:.1f} ms/batch")

@@ -92,11 +92,12 @@ def test_wcompact_matches_byte_compact(gray_image, rgb_image, mode, restart):
     n_rst = layout.n_segments - 1
     u8, nbytes = compact_unstuffed(seg_w, seg_b, cap_u)
     want = finalize_host(np.asarray(u8), np.asarray(nbytes), 0, n_rst)
-    uw, nbits = wcompact_unstuffed(seg_w, seg_b, cap_u // 4)
+    from jpgenc_tpu.ops.pack import seg_nwords_aligned, walign_for
+    wal = walign_for(layout.blocks_per_segment)
+    uw, nbits = wcompact_unstuffed(seg_w, seg_b, cap_u // 4, wal)
     uw, nbits = np.asarray(uw), np.asarray(nbits)
-    from jpgenc_tpu.ops.pack import seg_nwords_aligned
-    assert int(seg_nwords_aligned(nbits).sum()) <= cap_u // 4
-    got = finalize_host_w(uw, nbits, 0, n_rst)
+    assert int(seg_nwords_aligned(nbits, wal).sum()) <= cap_u // 4
+    got = finalize_host_w(uw, nbits, 0, n_rst, wal)
     assert got == want
 
 
@@ -112,11 +113,13 @@ def test_finalize_host_w_np_fallback_matches_native(rgb_image, monkeypatch):
     luts = luts_from_tables(*standard_tables())
     seg_w, seg_b = plan.encode_segments(rgb_image, qt, luts)
     cap_u = scan_caps(layout, 75)[0]
-    uw, nbits = wcompact_unstuffed(seg_w, seg_b, cap_u // 4)
+    from jpgenc_tpu.ops.pack import walign_for
+    wal = walign_for(layout.blocks_per_segment)
+    uw, nbits = wcompact_unstuffed(seg_w, seg_b, cap_u // 4, wal)
     uw, nbits = np.asarray(uw), np.asarray(nbits)
-    want = finalize_host_w(uw, nbits, 2, len(nbits))
+    want = finalize_host_w(uw, nbits, 2, len(nbits), wal)
     monkeypatch.setattr(native, "available", lambda: False)
-    got = finalize_host_w(uw, nbits, 2, len(nbits))
+    got = finalize_host_w(uw, nbits, 2, len(nbits), wal)
     assert got == want
 
 
