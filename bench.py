@@ -621,10 +621,33 @@ def main() -> None:
              f"bpp {sq['bpp']} psnr {sq['psnr_db']}")
         return row
 
+    # ---- batched two-pass optimized Huffman (config :10 at production
+    # scale — the 4K row covers the single-image sync floor; this row
+    # covers the batched device pipeline: pass-1 histogram + per-image
+    # table build + pass 2, device-resident input, zero staging) ---------
+    def c_opt():
+        from jpgenc_tpu.parallel.mesh import encode_batch
+        outs_o = encode_batch(frames_dev, quality=75, subsampling="420",
+                              mesh=mesh, optimize=True)    # compile + warm
+        iters = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            outs_o = encode_batch(frames_dev, quality=75, subsampling="420",
+                                  mesh=mesh, optimize=True)
+            iters.append(time.perf_counter() - t0)
+        iters.sort()
+        row = {"mpix_per_s": round(mpix / iters[len(iters) // 2], 2),
+               **_psnr_bpp(outs_o[0], frames[0], 75, optimize=True),
+               "note": "device-resident input, per-image custom tables"}
+        _log(f"c10b batched optimize 1080p: {row['mpix_per_s']} MPix/s; "
+             f"bpp {row['bpp']} (pillow {row['pillow_bpp']})")
+        return row
+
     _config("qsweep_dri", c9)        # 0 MB (reuses frames_dev)
     _config("1080p_422_q75", lambda: _c_sub("422"))   # 0 MB
     _config("1080p_444_q75", lambda: _c_sub("444"))   # 0 MB
     _config("1080p_islow_q75", c_islow)   # 0 MB (reuses frames_dev)
+    _config("1080p_420_q75_optimized", c_opt)   # 0 MB (device-resident)
     _config("gray512_q75", c7)       # ~17 MB
     _config("4k_optimized", c10)     # ~75 MB
     _config("decode_1080p", cdec)    # ~60 MB (packed coefficient uploads)

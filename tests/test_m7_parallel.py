@@ -207,3 +207,20 @@ def test_encode_batch_device_resident_transcode(rng):
 
     with pytest.raises(ValueError):                  # 3 doesn't divide 8
         encode_batch(dev[:3], quality=75, subsampling="420")
+
+
+def test_batch_optimize_device_resident(rng):
+    """Two-pass optimized-Huffman encode_batch with DEVICE-RESIDENT input
+    (the transcode/production shape) must emit files byte-identical to
+    per-image host encodes — covers the optimize x device-resident
+    combination the bench's batched-optimize row rides."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jpgenc_tpu.parallel.mesh import default_mesh, encode_batch, put_batch
+    imgs = _batch(rng, 8, 64, 80, 3)
+    mesh = default_mesh()
+    sh = NamedSharding(mesh, P("batch", None, None, None))
+    dev = put_batch(imgs, sh)
+    outs = encode_batch(dev, quality=75, mesh=mesh, optimize=True)
+    for i in range(8):
+        assert outs[i] == api.encode(imgs[i], quality=75, optimize=True)
