@@ -464,9 +464,18 @@ def pixel_fn(layout: FrameLayout):
         c0 = comps[0]
 
         def _pix(blocks, qts):
+            # T.81 reconstruction semantics (and every libjpeg-family
+            # decoder): IDCT output SAMPLES are rounded and range-limited
+            # to [0, 255] per component BEFORE chroma upsampling and color
+            # conversion. Without this, ringing overshoot on sharp/noisy
+            # content propagates through the (linear) upsample+color chain
+            # differently than the oracles — measured up to 27/255 off at
+            # isolated overshoot pixels while Pillow and OpenCV agreed
+            # exactly (r5 fuzz audit).
             planes = [
-                X.zigzag_to_plane(blocks[offs[i]:offs[i] + comps[i].n_blocks],
-                                  qts[i], comps[i].plane_h, comps[i].plane_w)
+                jnp.clip(jnp.round(X.zigzag_to_plane(
+                    blocks[offs[i]:offs[i] + comps[i].n_blocks],
+                    qts[i], comps[i].plane_h, comps[i].plane_w)), 0, 255)
                 for i in range(3)]
             y = planes[0]
             cb = C.upsample_fancy(planes[1], c0.hs, c0.vs)

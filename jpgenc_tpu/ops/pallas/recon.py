@@ -16,9 +16,13 @@ Design (mirrors ops/pallas/k1_dct.py's dense operator, transposed):
   space, so the packed-upload densify scatter produces it directly with NO
   scan_flat table lookup (cheaper than the component-planar form).
 - Dequantization is a per-lane multiply by the runtime quant row [B, L].
-- Everything linear after that (dezigzag, IDCT, triangle upsample, BT.601
-  color transform, byte interleave) is folded into ONE fat trace-time operator
-  per mode: acc = xf @ M + bias, giving each MCU's full RGB pixel block.
+- TWO trace-time operators per mode (r5): stage 1 is the block-diagonal
+  dezigzag+IDCT (+128) producing component SAMPLES, which the kernel
+  rounds and range-limits to [0, 255] — the T.81 reconstruction semantic
+  every libjpeg-family decoder applies, non-linear and therefore
+  impossible to fold into a single operator; stage 2 spreads the CLAMPED
+  samples through the triangle upsample x BT.601 weights (the -128 chroma
+  offsets fold into its bias via the filter's partition of unity).
   Output lanes use a 128-aligned byte-slot basis — four groups of
   GPAD = align(mh*nw, 128) lanes, group k holding byte k of every output u32
   word at lane k*GPAD + r*nw + w — so the word packing is
@@ -85,7 +89,23 @@ def _align128(n: int) -> int:
 @functools.lru_cache(maxsize=8)
 def _operators(hs: int, vs: int) -> dict:
     """Trace-time constant operators for one subsampling mode (float64
-    accumulation, cast to f32 once)."""
+    accumulation, cast to f32 once).
+
+    TWO-STAGE since r5: T.81 reconstruction (and every libjpeg-family
+    decoder) rounds and range-limits IDCT output SAMPLES to [0, 255] per
+    component BEFORE chroma upsampling and color conversion — a clamp the
+    old single fat operator could not express (it folded upsample+color
+    into the IDCT matmul, so ringing overshoot leaked through the linear
+    chain; measured up to 27/255 off at isolated overshoot pixels on
+    noisy content). Stage 1 (`m1`+`b1`): block-diagonal dezigzag+IDCT,
+    +128 level shift for every component (chroma samples become true
+    [0,255] Cb/Cr) — the kernel rounds half-even and clamps the result.
+    Stage 2 (`m2`+`b2`): Y permutation + triangle-upsample x BT.601
+    weights over the CLAMPED samples; the -128 chroma offset of the
+    color transform folds into `b2` because the upsample weights are a
+    partition of unity per output pixel (across m2 AND the halo-tap
+    spreads, whose extracted samples get the same +128/round/clamp in
+    the kernel)."""
     nb = hs * vs
     mh, mw = 8 * vs, 8 * hs
     L = (nb + 2) * 64
@@ -98,8 +118,15 @@ def _operators(hs: int, vs: int) -> dict:
         b = px * 3 + c
         return (b % 4) * gpad + r * nw + (b // 4)
 
-    m = np.zeros((L, n_out), np.float64)
-    bias = np.zeros((1, n_out), np.float64)
+    # stage 1: zigzag coefficients -> spatial samples, lane g*64+pos
+    m1 = np.zeros((L, L), np.float64)
+    for g in range(nb + 2):
+        m1[g * 64:(g + 1) * 64, g * 64:(g + 1) * 64] = k
+    b1 = np.full((1, L), 128.0)
+
+    # stage 2: clamped samples -> byte-slot pixels
+    m2 = np.zeros((L, n_out), np.float64)
+    b2 = np.zeros((1, n_out), np.float64)
     for r in range(mh):
         for px in range(mw):
             slot = (r // 8) * hs + (px // 8)
@@ -107,19 +134,21 @@ def _operators(hs: int, vs: int) -> dict:
             vt = _vtaps(r, vs)
             ht = _vtaps(px, hs)
             for c in range(3):
-                bias[0, col(r, px, c)] = 128.0     # +128 from each Y IDCT
-                m[slot * 64:(slot + 1) * 64, col(r, px, c)] += k[:, pos]
+                # total chroma weight is 1 per component (edge taps
+                # included), so the color transform's (cb-128)/(cr-128)
+                # offsets are one constant per output column
+                b2[0, col(r, px, c)] = -128.0 * (_CCB[c] + _CCR[c])
+                m2[slot * 64 + pos, col(r, px, c)] += 1.0
                 for tv, wv in vt:
                     for tu, wu in ht:
                         if 0 <= tv < 8 and 0 <= tu < 8:
                             w = wv * wu
                             cp = tv * 8 + tu
-                            m[nb * 64:(nb + 1) * 64, col(r, px, c)] += \
-                                w * _CCB[c] * k[:, cp]
-                            m[(nb + 1) * 64:, col(r, px, c)] += \
-                                w * _CCR[c] * k[:, cp]
-    ops = {"m": m.astype(np.float32),
-           "bias": bias.astype(np.float32)}
+                            m2[nb * 64 + cp, col(r, px, c)] += w * _CCB[c]
+                            m2[(nb + 1) * 64 + cp, col(r, px, c)] += \
+                                w * _CCR[c]
+    ops = {"m1": m1.astype(np.float32), "b1": b1.astype(np.float32),
+           "m2": m2.astype(np.float32), "b2": b2.astype(np.float32)}
 
     if hs == 2:
         # column extractors: chroma zz lanes (cb|cr, 128) -> 16 tap lanes
@@ -231,13 +260,24 @@ def _gray_kernel(x_ref, q_ref, m_ref, b_ref, out_ref):
         out_ref[0, r] = words[:, r * 2:(r + 1) * 2]
 
 
+def _round_clamp_samples(a):
+    """Round-half-even + [0, 255] range limit on component SAMPLES (the
+    T.81 reconstruction semantic; same arithmetic as the jnp path's
+    jnp.clip(jnp.round(plane), 0, 255)). Returns f32 (feeds matmuls)."""
+    base = jnp.floor(a)
+    frac = a - base
+    bi = base.astype(jnp.int32)
+    up = (frac > 0.5) | ((frac == 0.5) & ((bi & 1) == 1))
+    return jnp.clip(bi + up.astype(jnp.int32), 0, 255).astype(_F32)
+
+
 def _make_kernel(nb: int, mh: int, nw: int, hs: int, vs: int):
     hp = jax.lax.Precision.HIGHEST
     gpad = _align128(mh * nw)
 
     def kernel(*refs):
-        x_ref, q_ref, m_ref, b_ref = refs[0:4]
-        pos = 4
+        x_ref, q_ref, m1_ref, b1_ref, m2_ref, b2_ref = refs[0:6]
+        pos = 6
         if hs == 2:
             ce0_ref, ce7_ref, wlr_ref = refs[pos:pos + 3]
             pos += 3
@@ -249,7 +289,13 @@ def _make_kernel(nb: int, mh: int, nw: int, hs: int, vs: int):
 
         q = q_ref[0]                                    # [1, L]
         xf = x_ref[0, 0].astype(jnp.int32).astype(_F32) * q   # [mx, L]
-        acc = jnp.dot(xf, m_ref[:], precision=hp) + b_ref[:]
+        # stage 1: block-diag dezigzag+IDCT (+128 every component), then
+        # the T.81 sample range limit — the non-linearity the old single
+        # fat operator could not express
+        s = _round_clamp_samples(
+            jnp.dot(xf, m1_ref[:], precision=hp) + b1_ref[:])  # [mx, L]
+        # stage 2: Y permutation + upsample x color over CLAMPED samples
+        acc = jnp.dot(s, m2_ref[:], precision=hp) + b2_ref[:]
 
         if hs == 2:
             xc = xf[:, nb * 64:]                        # [mx, 128], aligned
@@ -260,11 +306,18 @@ def _make_kernel(nb: int, mh: int, nw: int, hs: int, vs: int):
             xl = jnp.concatenate([xc[:1], xc[:-1]], axis=0)
             xr = jnp.concatenate([xc[1:], xc[-1:]], axis=0)
             # image-left edge replicates chroma col 0; interior MCUs take
-            # the LEFT neighbour's col 7 (ops/color._upsample2_axis edges)
-            l_tap = jnp.where(rows == 0, c0_own,
-                              jnp.dot(xl, ce7_ref[:], precision=hp))
-            r_tap = jnp.where(rows == mx - 1, c7_own,
-                              jnp.dot(xr, ce0_ref[:], precision=hp))
+            # the LEFT neighbour's col 7 (ops/color._upsample2_axis edges).
+            # Extractions produce (sample - 128) values: level-shift and
+            # range-limit them exactly like the in-MCU samples (the -128
+            # color offset is folded into b2)
+            l_tap = _round_clamp_samples(
+                jnp.where(rows == 0, c0_own,
+                          jnp.dot(xl, ce7_ref[:], precision=hp))
+                + _F32(128.0))
+            r_tap = _round_clamp_samples(
+                jnp.where(rows == mx - 1, c7_own,
+                          jnp.dot(xr, ce0_ref[:], precision=hp))
+                + _F32(128.0))
             acc = acc + jnp.dot(jnp.concatenate([l_tap, r_tap], axis=1),
                                 wlr_ref[:], precision=hp)
 
@@ -276,17 +329,23 @@ def _make_kernel(nb: int, mh: int, nw: int, hs: int, vs: int):
             qc = qc_ref[0]                              # [1, 128]
             xuf = xu_ref[0, 0].astype(jnp.int32).astype(_F32) * qc
             xdf = xd_ref[0, 0].astype(jnp.int32).astype(_F32) * qc
-            # pixel row above this MCU row: top edge replicates own row 0
-            u_px = jnp.where(i == 0,
-                             jnp.dot(xc, re0_ref[:], precision=hp),
-                             jnp.dot(xuf, re7_ref[:], precision=hp))
-            d_px = jnp.where(i == my - 1,
-                             jnp.dot(xc, re7_ref[:], precision=hp),
-                             jnp.dot(xdf, re0_ref[:], precision=hp))
+            # pixel row above this MCU row: top edge replicates own row 0;
+            # level-shift + range-limit the extracted sample rows
+            u_px = _round_clamp_samples(
+                jnp.where(i == 0,
+                          jnp.dot(xc, re0_ref[:], precision=hp),
+                          jnp.dot(xuf, re7_ref[:], precision=hp))
+                + _F32(128.0))
+            d_px = _round_clamp_samples(
+                jnp.where(i == my - 1,
+                          jnp.dot(xc, re7_ref[:], precision=hp),
+                          jnp.dot(xdf, re0_ref[:], precision=hp))
+                + _F32(128.0))
 
             def corner(pxrow, left: bool):
                 # corner chroma taps via lane-pick matmuls (lane-offset
-                # slices narrower than 128 miscompile on this backend)
+                # slices narrower than 128 miscompile on this backend);
+                # picks of already-clamped samples
                 if left:
                     own = jnp.dot(pxrow, s_first_ref[:], precision=hp)
                     sh = jnp.concatenate([pxrow[:1], pxrow[:-1]], axis=0)
@@ -345,9 +404,10 @@ def recon_applicable(layout: FrameLayout) -> bool:
     mh = 8 * c0.vs
     L = (nb + 2) * 64
     gpad = _align128(mh * (8 * c0.hs) * 3 // 4)
-    # dominant VMEM: double-buffered x blocks + f32 xf + acc/px/words +
-    # lane-padded out block; operators are < 2 MB
-    est = layout.mcus_x * (2 * L * 2 + L * 4 + 4 * gpad * 4 * 3
+    # dominant VMEM: double-buffered x blocks + f32 xf + the stage-1
+    # sample tensor s [mx, L] + acc/px/words + lane-padded out block;
+    # operators (m1 [L,L] + m2 [L, 4*gpad]) are ~2 MB
+    est = layout.mcus_x * (2 * L * 2 + 2 * L * 4 + 4 * gpad * 4 * 3
                            + mh * 128 * 4 * 2)
     return est <= (10 << 20)
 
@@ -393,12 +453,15 @@ def fused_recon_words(x4: jnp.ndarray, q_rows: jnp.ndarray,
     # q rides as [B, 1, L]: a (1, 1, L) block keeps the last-two-dims
     # tiling rule satisfied for every batch size
     args = [x4, q_rows.reshape(B, 1, L),
-            jnp.asarray(ops["m"]), jnp.asarray(ops["bias"])]
+            jnp.asarray(ops["m1"]), jnp.asarray(ops["b1"]),
+            jnp.asarray(ops["m2"]), jnp.asarray(ops["b2"])]
     in_specs = [
         pl.BlockSpec((1, 1, mx, L), lambda b, i: (b, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, L), lambda b, i: (b, 0, 0),
                      memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]

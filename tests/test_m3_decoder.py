@@ -231,3 +231,36 @@ def test_stage_recon_matches_decode_batch(rgb_image):
     outs2 = [np.asarray(o) for o in run()]
     for a, b2 in zip(outs, outs2):
         np.testing.assert_array_equal(a, b2)
+
+
+@pytest.mark.parametrize("mode", ["420", "422", "444", "gray"])
+def test_decode_range_limit_semantics(mode):
+    """T.81 sample range limiting on ringing-heavy content: decoded pixels
+    must track the exact-arithmetic reconstruction tightly (the clamp on
+    IDCT output samples, r5 fuzz-audit finding) — while the libjpeg-based
+    oracles may legitimately deviate further, because their integer islow
+    IDCT's accuracy guarantee (IEEE-1180 |coef| <= ~300 domain) is void on
+    such coefficients (measured up to ~20/255 vs exact arithmetic, with
+    PIL == cv2 == TF exactly, since they share the code)."""
+    import io as _io
+
+    from PIL import Image
+    h, w = 54, 94
+    # deterministic content: the session rng's stream depends on xdist
+    # worker order, and this test's bounds are content-sensitive
+    lrng = np.random.default_rng(hash(mode) % 2**31)
+    img = lrng.integers(0, 256, (h, w) if mode == "gray" else (h, w, 3),
+                        np.uint8)
+    kw = {} if mode == "gray" else {"subsampling": mode}
+    from jpgenc_tpu.ref.decoder import exact_decode
+    data = api.encode(img, quality=55, **kw)
+    own = decode(data).astype(np.int64)
+    ref = exact_decode(data).astype(np.int64)
+    d = np.abs(own - ref)
+    assert d.max() <= 2, f"own vs exact ref maxdiff {d.max()}"
+    pil = np.asarray(Image.open(_io.BytesIO(data)).convert(
+        "L" if mode == "gray" else "RGB")).astype(np.int64)
+    dp = np.abs(own - pil)
+    # loose oracle bound: the gap is libjpeg's integer-IDCT deviation
+    assert dp.max() <= 48 and (dp > 4).mean() < 0.05, \
+        f"own vs PIL maxdiff {dp.max()} frac>4 {(dp > 4).mean():.4f}"
