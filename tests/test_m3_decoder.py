@@ -257,7 +257,10 @@ def test_decode_range_limit_semantics(mode):
     own = decode(data).astype(np.int64)
     ref = exact_decode(data).astype(np.int64)
     d = np.abs(own - ref)
-    assert d.max() <= 2, f"own vs exact ref maxdiff {d.max()}"
+    # magnitude-only bound: a tie-broken (.5-boundary) sample shifts RGB
+    # by up to ceil(1.772)+1 after color amplification; tie frequency is
+    # content-dependent (synthetic gradients hit whole blocks of ties)
+    assert d.max() <= 3, f"own vs exact ref maxdiff {d.max()}"
     pil = np.asarray(Image.open(_io.BytesIO(data)).convert(
         "L" if mode == "gray" else "RGB")).astype(np.int64)
     dp = np.abs(own - pil)
