@@ -198,7 +198,9 @@ def _link_probe():
     t0 = time.perf_counter()
     dev_h = jax.device_put(host)
     np.asarray(jax.device_put(np.zeros(4096, np.uint8)))
-    h2d_s = time.perf_counter() - t0
+    # the fence is itself a tiny-put round trip: subtract its measured
+    # latency so h2d_mb_s is not systematically understated ~15-20%
+    h2d_s = max(time.perf_counter() - t0 - rt_small_ms / 1e3, 1e-6)
     # D2H: first fetch of a device array (jax.Array caches the host copy
     # after one conversion, so each probe array is fetched exactly once)
     t0 = time.perf_counter()
@@ -665,7 +667,11 @@ def main() -> None:
             and "skipped" not in configs["qsweep_dri"]:
         try:
             _c9_build((10, 75, 25, 90), min_points=0)
-            _c9_time()
+            if budget_left():
+                _c9_time()
+            else:
+                _log("c9 re-time skipped (budget) — endpoint rows keep "
+                     "their first-phase timings")
         except Exception as e:
             _log(f"qsweep extension: ERROR {e}")
 

@@ -486,6 +486,18 @@ def pixel_fn(layout: FrameLayout):
     return _pix
 
 
+def _packed1_offsets(n_comps: int, cap_m: int, cap_e: int
+                     ) -> tuple[int, int, int]:
+    """Byte offsets of the fused_packed1 combined upload buffer
+    [qtables i32 | exceptions i16 | main stream u8] -> (o_exc, o_main,
+    total). ONE definition shared by the host packer (decode) and the
+    jitted device splitter (_recon_jit) — a desync would silently decode
+    garbage."""
+    o_exc = 256 * n_comps
+    o_main = o_exc + 6 * cap_e
+    return o_exc, o_main, o_main + 2 * cap_m
+
+
 def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
                form: str | None = None, interpret: bool = False,
                caps: tuple | None = None):
@@ -561,8 +573,7 @@ def _recon_jit(layout: FrameLayout, batch: int = 0, sparse: bool = False,
         if form == "fused_packed1":
             n_comps = len(layout.comps)
             cap_m, cap_e = caps
-            o_exc = 256 * n_comps
-            o_main = o_exc + 6 * cap_e
+            o_exc, o_main, _total = _packed1_offsets(n_comps, cap_m, cap_e)
 
             def _one_fn(buf):
                 qts_all = jax.lax.bitcast_convert_type(
@@ -734,9 +745,9 @@ def decode(data: bytes, to_device: bool = False):
                 # host->device put costs a flat ~20-25 ms sync on this
                 # platform, so the transfer COUNT (not bytes) set the warm
                 # single-image decode floor when this was 5 separate puts
-                o_exc = 256 * len(qts_host)
-                o_main = o_exc + 6 * cap_e
-                buf = np.empty(o_main + 2 * cap_m, np.uint8)
+                o_exc, o_main, total = _packed1_offsets(
+                    len(qts_host), cap_m, cap_e)
+                buf = np.empty(total, np.uint8)
                 buf[:o_exc] = np.stack(qts_host).view(np.uint8).ravel()
                 buf[o_exc:o_main] = np.ascontiguousarray(exc) \
                     .view(np.uint8).ravel()

@@ -39,15 +39,33 @@ def upsample_fancy_ref(a: np.ndarray, axis: int) -> np.ndarray:
     return out.reshape(shp)
 
 
+def _upsample_axis_ref(a: np.ndarray, f: int, axis: int) -> np.ndarray:
+    """Factor-f upsample along `axis`: fancy triangle for f == 2, sample
+    replication otherwise (the same fallback ops/color.upsample_fancy
+    takes for foreign 4:1:1 / 4:1:0 factors)."""
+    if f == 1:
+        return a
+    if f == 2:
+        return upsample_fancy_ref(a, axis)
+    return np.repeat(a, f, axis=axis)
+
+
 def reconstruct_ref(layout, blocks: np.ndarray, qts) -> np.ndarray:
-    """[n_total, 64] zigzag coefficient blocks + per-id quant tables ->
-    uint8 pixels (cropped), exact float64 arithmetic."""
+    """[n_total, 64] zigzag coefficient blocks + quant tables -> uint8
+    pixels (cropped), exact float64 arithmetic.
+
+    qts: a per-COMPONENT sequence of [64] natural-order tables, or a dict
+    keyed by quant-table id — the dict form is only valid when the
+    layout's 0/1 id convention matches the file's DQT slots (foreign
+    files may use any Tq per component: pass the per-component form,
+    as exact_decode does)."""
     zz = np.asarray(T.ZIGZAG)
     k = np.asarray(_KIDCT_ZZ, np.float64)
     offs = layout.comp_offsets
     planes = []
     for i, c in enumerate(layout.comps):
-        q = np.asarray(qts[c.qtab]).reshape(64).astype(np.float64)
+        q = qts[c.qtab] if isinstance(qts, dict) else qts[i]
+        q = np.asarray(q).reshape(64).astype(np.float64)
         bl = np.asarray(blocks[offs[i]:offs[i] + c.n_blocks], np.float64)
         px = (bl * q[zz]) @ k + 128.0          # [n, 64] row-major samples
         bw = c.plane_w // 8
@@ -60,10 +78,8 @@ def reconstruct_ref(layout, blocks: np.ndarray, qts) -> np.ndarray:
         return planes[0][:h, :w].astype(np.uint8)
     c0 = layout.comps[0]
     cb, cr = planes[1], planes[2]
-    if c0.vs == 2:
-        cb, cr = upsample_fancy_ref(cb, 0), upsample_fancy_ref(cr, 0)
-    if c0.hs == 2:
-        cb, cr = upsample_fancy_ref(cb, 1), upsample_fancy_ref(cr, 1)
+    cb = _upsample_axis_ref(_upsample_axis_ref(cb, c0.vs, 0), c0.hs, 1)
+    cr = _upsample_axis_ref(_upsample_axis_ref(cr, c0.vs, 0), c0.hs, 1)
     y = planes[0]
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136286 * (cb - 128.0) - 0.714136286 * (cr - 128.0)
@@ -73,7 +89,12 @@ def reconstruct_ref(layout, blocks: np.ndarray, qts) -> np.ndarray:
 
 
 def exact_decode(data: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 pixels via the reference reconstruction."""
-    from jpgenc_tpu.decoder import decode_to_coefficients
-    layout, blocks, qts = decode_to_coefficients(data)
-    return reconstruct_ref(layout, blocks, qts)
+    """JPEG bytes -> uint8 pixels via the reference reconstruction.
+    Quant tables are resolved per COMPONENT from the parsed frame (foreign
+    files may assign any DQT slot id to any component)."""
+    from jpgenc_tpu.decoder import (_qts_of, decode_scan_to_blocks,
+                                    layout_from_parsed, parse_jpeg)
+    parsed = parse_jpeg(data)
+    layout = layout_from_parsed(parsed)
+    blocks = decode_scan_to_blocks(parsed, layout)
+    return reconstruct_ref(layout, blocks, _qts_of(parsed))

@@ -74,7 +74,8 @@ def main() -> None:
         nb_host, ovf_host = np.asarray(nbits), np.asarray(ovf)
         assert not ovf_host.any(), f"Q{q} w{wb}: tier overflow on fixture"
         if q in bit_ref:
-            np.testing.assert_array_equal(nb_host, bit_ref[q]), (q, wb)
+            np.testing.assert_array_equal(nb_host, bit_ref[q],
+                                          err_msg=f"Q{q} w{wb}")
         else:
             bit_ref[q] = nb_host
         t0 = time.perf_counter()

@@ -160,6 +160,10 @@ def main() -> None:
                  f"{lines_at_kill} manifest lines")
             p = _spawn(args.root, i0, i1, manifest)
             out, _ = p.communicate()
+            if p.returncode != 0 or not out.strip():
+                raise RuntimeError(
+                    f"kill-lane resume worker failed rc={p.returncode} "
+                    f"out={out[:200]!r}")
             res = json.loads(out.strip().splitlines()[-1])
             assert res["skipped"] >= min(thresh, lines_at_kill) and \
                 res["done"] + res["skipped"] == i1 - i0, res

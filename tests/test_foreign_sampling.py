@@ -69,3 +69,19 @@ def test_foreign_sampling_with_restarts(rng):
     out = D.decode(data)
     pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     assert psnr(out, pil) > 30.0
+
+
+@pytest.mark.parametrize("mode,dims", [
+    ("411", (64, 96)), ("440", (61, 64)), ("410", (48, 64)),
+])
+def test_foreign_sampling_exact_reference(rng, mode, dims):
+    """The exact-arithmetic reference decoder handles foreign samplings
+    (replication fallback for factors != 2, per-component quant-table
+    resolution) and the device decode tracks it within rounding."""
+    from jpgenc_tpu.ref.decoder import exact_decode
+    img = np.clip(rng.normal(128, 40, dims + (3,)), 0, 255).astype(np.uint8)
+    data, lay, zz = _foreign_file(img, mode)
+    own = D.decode(data).astype(np.int64)
+    ref = exact_decode(data).astype(np.int64)
+    d = np.abs(own - ref)
+    assert d.max() <= 3, f"{mode}: own vs exact ref maxdiff {d.max()}"

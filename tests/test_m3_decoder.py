@@ -247,8 +247,10 @@ def test_decode_range_limit_semantics(mode):
     from PIL import Image
     h, w = 54, 94
     # deterministic content: the session rng's stream depends on xdist
-    # worker order, and this test's bounds are content-sensitive
-    lrng = np.random.default_rng(hash(mode) % 2**31)
+    # worker order, and this test's bounds are content-sensitive (NB:
+    # hash() on str is salted per process — crc32 is stable)
+    import zlib
+    lrng = np.random.default_rng(zlib.crc32(mode.encode()))
     img = lrng.integers(0, 256, (h, w) if mode == "gray" else (h, w, 3),
                         np.uint8)
     kw = {} if mode == "gray" else {"subsampling": mode}
@@ -263,7 +265,12 @@ def test_decode_range_limit_semantics(mode):
     assert d.max() <= 3, f"own vs exact ref maxdiff {d.max()}"
     pil = np.asarray(Image.open(_io.BytesIO(data)).convert(
         "L" if mode == "gray" else "RGB")).astype(np.int64)
+    # relative oracle control (same policy as scripts/audit_fuzz.py): our
+    # decode must sit no farther from PIL than exact arithmetic does —
+    # libjpeg's integer-IDCT deviation on noise is open-ended (53+
+    # observed at single pixels here), so absolute caps are unprincipled
     dp = np.abs(own - pil)
-    # loose oracle bound: the gap is libjpeg's integer-IDCT deviation
-    assert dp.max() <= 48 and (dp > 4).mean() < 0.05, \
-        f"own vs PIL maxdiff {dp.max()} frac>4 {(dp > 4).mean():.4f}"
+    dref = np.abs(ref - pil)
+    slack = 16.0 / dp.size
+    assert (dp > 4).mean() <= (dref > 4).mean() + max(1e-3, slack), \
+        f"own frac>4 {(dp > 4).mean():.4f} vs ref {(dref > 4).mean():.4f}"
