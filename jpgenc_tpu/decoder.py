@@ -739,6 +739,12 @@ def decode(data: bytes, to_device: bool = False):
         if _packed_wins(cap_m, cap_e, n64):
             fused, interp = _fused_mode(layout)
             if fused:
+                # same n_total == n_scan invariant the batch path asserts
+                # (_recon_jobs): pads/exceptions are sized in flat space
+                # while the fused kernel's buffer spans scan space
+                assert n64 == layout.n_scan * 64, (
+                    f"fused packed decode requires n_total == n_scan "
+                    f"({n64 // 64} vs {layout.n_scan})")
                 mp, exc = _pad_packed(main, _scan_space_eidx(eidx, layout),
                                       evals, cap_m, cap_e, n64)
                 # ONE upload carrying [qtables | exceptions | stream]: each

@@ -74,9 +74,14 @@ def probe_latency(jax) -> dict:
             "rt_4kb_ms_min": round(min(rts), 2)}
 
 
-def probe_link(jax, mb: int = 8, reps: int = 3) -> dict:
+def probe_link(jax, mb: int = 8, reps: int = 3,
+               fence_ms: float = 0.0) -> dict:
     """H2D and D2H MB/s on fixed-size buffers (in-pool rates; the ledger's
-    0.05-0.08 GB/s H2D / 0.07-0.085 D2H constants, session-dependent)."""
+    0.05-0.08 GB/s H2D / 0.07-0.085 D2H constants, session-dependent).
+    fence_ms: the tiny-put round-trip latency (probe_latency) — the H2D
+    fence IS one such round trip, so it is subtracted to keep this probe's
+    h2d_mb_s comparable with bench.py's _link_probe (which subtracts it
+    for the same reason)."""
     n = mb << 20
     h2d, d2h = [], []
     for i in range(reps):
@@ -84,7 +89,7 @@ def probe_link(jax, mb: int = 8, reps: int = 3) -> dict:
         t0 = time.perf_counter()
         dev = jax.device_put(host)
         np.asarray(jax.device_put(np.zeros(4096, np.uint8)))  # ordered-DMA fence
-        h2d.append(n / (time.perf_counter() - t0))
+        h2d.append(n / max(time.perf_counter() - t0 - fence_ms / 1e3, 1e-6))
         t0 = time.perf_counter()
         np.asarray(dev)                       # first fetch of this array
         d2h.append(n / (time.perf_counter() - t0))
@@ -190,10 +195,11 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+    lat = probe_latency(jax)
     result = {"backend": jax.devices()[0].platform,
               "ledger": "docs/PERFORMANCE.md platform characterization",
-              "latency": probe_latency(jax),
-              "link": probe_link(jax)}
+              "latency": lat,
+              "link": probe_link(jax, fence_ms=lat["rt_4kb_ms_median"])}
     _log(f"latency: {result['latency']}")
     _log(f"link: {result['link']}")
     if args.full:

@@ -147,7 +147,7 @@ def main() -> None:
             # fault-injection lane: SIGKILL the worker (exact PID) once its
             # manifest shows real progress, then relaunch and require the
             # resume to skip everything the manifest recorded
-            thresh = min(48, max(8, (i1 - i0) // 3))
+            thresh = max(1, min(48, max(8, (i1 - i0) // 3), i1 - i0))
             p = _spawn(args.root, i0, i1, manifest)
             while _manifest_lines(manifest) < thresh:
                 if p.poll() is not None:

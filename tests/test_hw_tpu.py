@@ -97,7 +97,12 @@ def test_k1a_fused_vs_split(tpu, frame):
     luts = luts_from_tables(*standard_tables())
     tabs = packed_tables(luts)
     _, qt = qtables_for_quality(75)
-    for mode, dri, w_blk in [("420", 0, 8), ("420", 4, 24), ("422", 0, 24),
+    # w_blk=12 covers the partial (<8-wide) final chunk store in the
+    # paired merge ON HARDWARE — interpret mode cannot catch the Mosaic
+    # lane-offset hazards that store shape is exposed to, and 12 is the
+    # DEFAULT tier for Q81-90 (full buffer equality asserted below)
+    for mode, dri, w_blk in [("420", 0, 8), ("420", 4, 24), ("420", 3, 12),
+                             ("422", 0, 12), ("422", 0, 24),
                              ("gray", 0, 8), ("gray", 5, 8)]:
         img = frame[:, :, 0] if mode == "gray" else frame
         layout = make_layout(256, 256, mode, dri)
