@@ -45,8 +45,9 @@ groups, the chroma quant row arriving as its own offset-0 block, separate
 col-0/col-7 extractor operands, and matmul-based lane picks for the corner
 taps.
 
-Numerics: the fused operator reassociates float32 ops relative to the jnp
-path (upsample/color folded into the IDCT matmul; MXU accumulation order).
+Numerics: the two-stage operators share the jnp path's structure (IDCT ->
+round/clamp samples -> upsample/color) but reassociate float32 ops (MXU
+accumulation order; per-mode operator constants accumulated in float64).
 Pixel outputs agree except when a value lands within an ulp of the .5
 rounding boundary — bounded by tests at max |diff| <= 1 on a tiny fraction of
 pixels (same discipline as the K1A encode kernel). Rounding itself is an
