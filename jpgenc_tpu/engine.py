@@ -226,7 +226,8 @@ def use_pallas_default(devices=None) -> bool:
 
 def scan_to_segments_blocked(zz_scan: jnp.ndarray, plan: SymbolPlan,
                              luts: EntropyLUTs, n_seg: int, w_blk: int,
-                             use_pallas: bool | None = None
+                             use_pallas: bool | None = None,
+                             cap_words: int | None = None
                              ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Block-granular pack: per-block buffers then one sorted merge scatter.
 
@@ -251,7 +252,8 @@ def scan_to_segments_blocked(zz_scan: jnp.ndarray, plan: SymbolPlan,
         meta = slot_metadata(plan, zz_scan)
         buf, bits = fused_block_pack(zz_scan, *meta,
                                      tables=packed_tables(luts), w_blk=w_blk)
-        seg_words, seg_bits = fused_seg_merge(buf, bits, n_seg, w_blk)
+        seg_words, seg_bits = fused_seg_merge(buf, bits, n_seg, w_blk,
+                                              cap_words=cap_words)
     else:
         pv, pl = make_pieces(zz_scan, plan, luts)
         buf, bits = block_pack(pv, pl, w_blk)
@@ -388,24 +390,28 @@ class DevicePlan:
                     from jpgenc_tpu.ops.pallas.seg_merge import fused_seg_merge
                     buf, bits = fused_pixels_to_pack(
                         img, lay, qtabs, packed_tables(luts), w_blk)
-                    w, b = fused_seg_merge(buf, bits, n_seg, w_blk)
+                    w, b = fused_seg_merge(buf, bits, n_seg, w_blk,
+                                           cap_words=cap_w)
                     ovf = jnp.max(bits) > w_blk * 32
                 else:
                     zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
                     w, b, ovf = scan_to_segments_blocked(zz, plan, luts,
-                                                         n_seg, w_blk)
+                                                         n_seg, w_blk,
+                                                         cap_words=cap_w)
                 return wcompact_unstuffed(w, b, cap_w, wal) + (ovf,)
 
             @jax.jit
             def _entropy_bytes(blocks, plan, scan_flat, luts):
                 zz = blocks_to_scan(blocks, scan_flat)
-                w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg, w_blk)
+                w, b, ovf = scan_to_segments_blocked(zz, plan, luts, n_seg,
+                                                     w_blk, cap_words=cap_w)
                 return wcompact_unstuffed(w, b, cap_w, wal) + (ovf,)
 
             @jax.jit
             def _entropy_bytes_zz(zz, plan, luts):
                 w, b, ovf = scan_to_segments_blocked(zz, plan, luts,
-                                                     n_seg, w_blk)
+                                                     n_seg, w_blk,
+                                                     cap_words=cap_w)
                 return wcompact_unstuffed(w, b, cap_w, wal) + (ovf,)
 
             self._bytes_fns[key] = {"encode": _encode_bytes,

@@ -49,7 +49,7 @@ def _kernel(bases_ref,                     # scalar prefetch: [n_tiles+1] i32
             buf_ref, w0_ref, r_ref,        # [TB, w_blk] i32, [TB,1], [TB,1]
             out_ref,                       # HBM [n_seg, rows, 128] i32
             acc2, carry, sem,              # scratch
-            *, w_blk: int, span: int, tiles_per_seg: int):
+            *, w_blk: int, span: int, tiles_per_seg: int, out_rows: int):
     from jpgenc_tpu.ops.pack import _shift_into_word
 
     seg = pl.program_id(0)
@@ -107,24 +107,42 @@ def _kernel(bases_ref,                     # scalar prefetch: [n_tiles+1] i32
     acc2[:] = jnp.pad(acc, ((0, 2), (0, 0)))
     carry[:] = acc2[pl.ds(delta_c, 2), :]
 
+    # capacity-capped output (see fused_seg_merge cap_words): clamp the
+    # DMA start so content past the cap scribbles IN BOUNDS instead of
+    # out of them — the host's capacity check (seg_bits vs cap) discards
+    # such results before anything reads them, and non-overflowing
+    # content never reaches the clamp (base_al <= content <= cap)
+    start = jnp.clip(base_al >> 7, 0, out_rows - n_chunks)
     copy = pltpu.make_async_copy(
         acc2.at[pl.ds(0, n_chunks), :],
-        out_ref.at[seg, pl.ds(base_al >> 7, n_chunks), :], sem)
+        out_ref.at[seg, pl.ds(start, n_chunks), :], sem)
     copy.start()
     copy.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "w_blk", "tb",
-                                             "interpret"))
+                                             "interpret", "cap_words"))
 def fused_seg_merge(buf: jnp.ndarray, bits: jnp.ndarray, n_seg: int,
-                    w_blk: int, tb: int = TB, interpret: bool = False
+                    w_blk: int, tb: int = TB, interpret: bool = False,
+                    cap_words: int | None = None
                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """buf [n_blocks, w_blk] u32 + bits [n_blocks] -> (seg_words, seg_bits).
 
     n_blocks must be n_seg * blocks_per_segment (scan order). Returns
-    seg_words [n_seg, w_seg] with w_seg = spb * w_blk + 2 — same layout and
-    bit-identical content (within each segment's used words) as
-    ops.pack.segments_from_blocks.
+    seg_words [n_seg, min(w_seg, cap-ish)] with w_seg = spb * w_blk + 2 —
+    same layout and bit-identical content (within each segment's used
+    words) as ops.pack.segments_from_blocks.
+
+    cap_words bounds the OUTPUT allocation at the caller's capacity tier
+    instead of the per-segment worst case. The worst-case buffer is ~8x
+    the tight Q75 capacity at 1080p DRI0, and merely consuming any part
+    of the oversized output forced its full ~1.5 MB/frame
+    materialization at the ~3 GB/s relayout rate — 0.52 ms/frame, ~29%
+    of the whole encode dispatch (measured r5; docs/PERFORMANCE.md).
+    Content exceeding the cap writes clamped in-bounds garbage; callers
+    already discard such results via the capacity check on seg_bits
+    (retry at a bigger tier), and non-overflowing content never reaches
+    the clamp.
     """
     n_blocks = buf.shape[0]
     spb = n_blocks // n_seg
@@ -167,6 +185,8 @@ def fused_seg_merge(buf: jnp.ndarray, bits: jnp.ndarray, n_seg: int,
     # span covers 128-alignment slack + the tile's blocks + one spill window
     span = -(-(128 + tb * w_blk + w1) // 128) * 128
     rows = -(-(w_seg + span + 256) // 128)
+    if cap_words is not None:
+        rows = min(rows, -(-(cap_words + span + 256) // 128))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -191,7 +211,7 @@ def fused_seg_merge(buf: jnp.ndarray, bits: jnp.ndarray, n_seg: int,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, w_blk=w_blk, span=span,
-                          tiles_per_seg=tiles_per_seg),
+                          tiles_per_seg=tiles_per_seg, out_rows=rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_seg, rows, 128), _I32),
         interpret=interpret,
@@ -200,5 +220,5 @@ def fused_seg_merge(buf: jnp.ndarray, bits: jnp.ndarray, n_seg: int,
       jax.lax.bitcast_convert_type(buf, _I32),
       w0.reshape(-1, 1),
       ri.reshape(-1, 1))
-    flat = out.reshape(n_seg, rows * 128)[:, :w_seg]
+    flat = out.reshape(n_seg, rows * 128)[:, :min(w_seg, rows * 128)]
     return jax.lax.bitcast_convert_type(flat, _U32), seg_bits

@@ -216,12 +216,14 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
             from jpgenc_tpu.ops.pallas.seg_merge import fused_seg_merge
             buf, bits = fused_pixels_to_pack(
                 img, lay, qtabs, packed_tables(luts), w_blk)
-            w, b = fused_seg_merge(buf, bits, n_seg, w_blk)
+            w, b = fused_seg_merge(buf, bits, n_seg, w_blk,
+                                   cap_words=cap_u // 4)
             ovf = jnp.max(bits) > w_blk * 32
         else:
             zz = pixels_to_scan_auto(img, lay, qtabs, use_pallas)
             w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg,
-                                                 w_blk, use_pallas=use_pallas)
+                                                 w_blk, use_pallas=use_pallas,
+                                                 cap_words=cap_u // 4)
         return wcompact_unstuffed(w, b, cap_u // 4, wal) + (ovf,)
 
     # optimize-mode pass 1 caches the SCAN-ORDERED zigzag tensor (Pallas K1
@@ -241,7 +243,8 @@ def _batched_fns(plan: DevicePlan, batch: int, mesh: Mesh,
 
     def _entropy1_bytes(zz, splan, luts):
         w, b, ovf = scan_to_segments_blocked(zz, splan, luts, n_seg, w_blk,
-                                             use_pallas=use_pallas)
+                                             use_pallas=use_pallas,
+                                             cap_words=cap_u // 4)
         return wcompact_unstuffed(w, b, cap_u // 4, wal) + (ovf,)
 
     sh_blk = NamedSharding(mesh, P(ax, None, None))

@@ -43,3 +43,29 @@ def test_seg_merge_matches_reference(mode, rst, gray_image, rgb_image):
     for s in range(n_seg):
         np.testing.assert_array_equal(out_w[s, :used[s]], ref_w[s, :used[s]],
                                       err_msg=f"segment {s}")
+
+
+@pytest.mark.parametrize("mode,rst", [("gray", 0), ("420", 2)])
+def test_seg_merge_capped_output(mode, rst, gray_image, rgb_image):
+    """cap_words bounds the output allocation at the caller's capacity
+    tier (the worst-case buffer was ~8x the tight cap and its forced
+    materialization cost ~29% of the encode dispatch — r5 ledger): when
+    the content fits the cap, every used word must equal the uncapped
+    kernel's, with a strictly smaller buffer."""
+    img = gray_image if mode == "gray" else rgb_image
+    layout, buf, bits = _blocks_case(img, mode, rst, 75)
+    n_seg = layout.n_segments
+    full_w, full_b = fused_seg_merge(buf, bits, n_seg, 24, interpret=True)
+    used = (np.asarray(full_b) + 31) // 32 + 1
+    # generous cap: >= any segment's content but << the worst case
+    cap = int(used.max()) + 512
+    cap_w, cap_b = fused_seg_merge(buf, bits, n_seg, 24, interpret=True,
+                                   cap_words=cap)
+    assert cap_w.shape[1] <= full_w.shape[1]
+    if cap + 1024 < full_w.shape[1]:      # big worst case: must shrink
+        assert cap_w.shape[1] < full_w.shape[1]
+    np.testing.assert_array_equal(np.asarray(cap_b), np.asarray(full_b))
+    fw, cw = np.asarray(full_w), np.asarray(cap_w)
+    for s in range(n_seg):
+        np.testing.assert_array_equal(cw[s, :used[s]], fw[s, :used[s]],
+                                      err_msg=f"segment {s}")
